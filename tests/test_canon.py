@@ -1,0 +1,59 @@
+"""Canonicalization: Spark expressions == Python mirror; reference pins.
+
+Reference semantics pinned here:
+- TakeChractersBefore strips from ``.html`` (otodom/commons/extensions.go:20-22,
+  corpus otodom/commons/extensions_test.go:26-35); absent predicate → whole
+  string (our sane replacement for the reference's slice panic, SURVEY.md §2 P4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.canon import (
+    canonical_url,
+    canonical_url_col,
+    host_col,
+    host_of,
+    path_col,
+    path_of,
+    url_hash,
+)
+
+URLS = [
+    # the reference's own test string shape (extensions_test.go:28)
+    "https://www.otodom.pl/oferta/mieszkanie-trzypokojowe-ID43Vih.html#anchor",
+    "https://www.otodom.pl/oferta/x-ID7.html",
+    "https://host0001.example/list?cat=3",
+    "https://host0001.example/list?cat=3&page=7",
+    "https://host0001.example/private/x?y=1#frag",
+    "http://h.example/",
+    "https://h.example/a.html.html#z",
+]
+
+
+def test_canonical_spark_equals_python(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    rows = df.select(
+        "url",
+        canonical_url_col(F.col("url")).alias("canon"),
+        F.xxhash64(canonical_url_col(F.col("url"))).alias("h"),
+        host_col(F.col("url")).alias("host"),
+        path_col(F.col("url")).alias("path"),
+    ).collect()
+    for r in rows:
+        assert r["canon"] == canonical_url(r["url"])
+        assert r["h"] == url_hash(canonical_url(r["url"]))
+        assert r["host"] == host_of(r["url"])
+        assert r["path"] == path_of(r["url"])
+
+
+def test_reference_pins():
+    assert (
+        canonical_url("https://www.otodom.pl/oferta/x-ID43Vih.html#anchor")
+        == "https://www.otodom.pl/oferta/x-ID43Vih"
+    )
+    # absent predicate → whole string (reference would panic)
+    assert canonical_url("https://h.example/no-suffix?a=1") == "https://h.example/no-suffix?a=1"
+    # first .html wins
+    assert canonical_url("https://h.example/a.html.html#z") == "https://h.example/a"
