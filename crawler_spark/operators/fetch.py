@@ -1,0 +1,156 @@
+"""Fetch + extract (SURVEY.md §2.4 G3/G4/G5, §2.2 P1-P3).
+
+Two fetch paths share one output contract:
+
+1. ``fetch_closed_world`` — the graft's deterministic "web": a fetch is
+   an equi hash join ``dispatch ⋈ web_pages`` on ``url_hash`` (G4).
+   Failure is modeled by the page's ``fail_attempts`` column: a try
+   succeeds iff prior ``attempts >= fail_attempts`` (so a page with
+   fail_attempts=3 succeeds on the 4th try), mirroring the reference's
+   5-attempt retry budget (RetryAttempts, otodom/commons/extensions.go:25-47,
+   invoked with 5 at flat_crawler/handler.go:53).  A URL absent from
+   web_pages is a permanent 404.
+
+2. ``fetch_http_map`` — the real-web shape: ``mapInPandas`` over the
+   politeness-salted dispatch partitions, retrying a pluggable fetcher
+   inside the batch (G3+G5).  The sandbox has no network, so the engine
+   uses path 1; path 2 is unit-tested with an injected fake fetcher and
+   is the drop-in for a live deployment.
+
+Extraction (P1/P2): per fetched page, explode the zipped listing
+arrays → project the 7-ish result columns, applying the reference's
+scalar extractors (ExtractNumber → price_digits, TakeChractersBefore
+'.html' → canonical link), then join the image payload table by
+image_id.  Bytes are joined LAST so image payloads never pass through
+the explode/extract shuffles (project early, join late).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .extract import extract_number, take_before
+
+MAX_ATTEMPTS = 5  # reference: RetryAttempts(5, ...)
+
+PAGE_CONTENT_COLS = [
+    "last_page",
+    "listing_ids",
+    "listing_prices",
+    "listing_links",
+    "fail_attempts",
+]
+
+
+def fetch_closed_world(dispatch: DataFrame, web_pages: DataFrame) -> DataFrame:
+    """dispatch ⋈ web on url_hash; adds ``found`` and ``ok`` status cols."""
+    web = web_pages.select("url_hash", *PAGE_CONTENT_COLS)
+    fetched = dispatch.join(web, "url_hash", "left")
+    return fetched.withColumn("found", F.col("fail_attempts").isNotNull()).withColumn(
+        "ok", F.col("found") & (F.col("attempts") >= F.col("fail_attempts"))
+    )
+
+
+def split_fetch_outcomes(
+    fetched: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (ok, retry, dead).
+
+    retry: found-but-failed tries with budget left (attempts+1 < 5) —
+    re-enqueued next round with attempts+1.  dead: permanent 404 or
+    retry budget exhausted (the reference panics here; we dead-letter).
+    """
+    ok = fetched.filter(F.col("ok"))
+    failed = fetched.filter(~F.col("ok")).withColumn("attempts", F.col("attempts") + 1)
+    retry = failed.filter(F.col("found") & (F.col("attempts") < MAX_ATTEMPTS))
+    dead = failed.filter(~F.col("found") | (F.col("attempts") >= MAX_ATTEMPTS))
+    return ok, retry, dead
+
+
+def extract_results(ok_pages: DataFrame, web_images: DataFrame, round_no: int) -> DataFrame:
+    """P1/P2 projection: page → one row per listing, + image payload join."""
+    z = F.arrays_zip(
+        F.col("listing_ids").alias("lid"),
+        F.col("listing_prices").alias("price_raw"),
+        F.col("listing_links").alias("link_raw"),
+    )
+    listings = ok_pages.select(
+        F.col("url_hash").alias("page_url_hash"),
+        "domain",
+        "schema_name",
+        "schema_version",
+        F.explode(z).alias("_l"),
+    ).select(
+        "page_url_hash",
+        "domain",
+        "schema_name",
+        "schema_version",
+        F.format_string("img-%012d", F.col("_l.lid")).alias("image_id"),
+        extract_number(F.col("_l.price_raw")).alias("price_digits"),
+        take_before(F.col("_l.link_raw"), ".html").alias("link"),
+    )
+    return (
+        listings.join(web_images, "image_id", "left")
+        .withColumn("round", F.lit(round_no))
+        .select(
+            "round",
+            "schema_name",
+            "schema_version",
+            "domain",
+            "page_url_hash",
+            "image_id",
+            "caption",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "phash",
+            "price_digits",
+            "link",
+        )
+    )
+
+
+# --------------------------------------------------------------- live-web path
+def fetch_http_map(
+    dispatch: DataFrame,
+    fetcher: Callable[[str], dict | None],
+    result_schema,
+    max_attempts: int = MAX_ATTEMPTS,
+) -> DataFrame:
+    """G3/G5: partition-parallel fetch with in-batch retry.
+
+    ``fetcher(url) -> dict | None`` is the page loader (HTTP in a real
+    deployment; a deterministic fake in tests).  Exceptions are retried
+    up to ``max_attempts`` per URL within the batch; rows that still
+    fail are emitted with ok=False for re-enqueue by the engine.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, attempts in zip(pdf["url"], pdf["attempts"]):
+                content, tries, err = None, int(attempts), None
+                while tries < max_attempts:
+                    tries += 1
+                    try:
+                        content = fetcher(url)
+                        break
+                    except Exception as e:  # retry (G5)
+                        err = str(e)
+                out.append(
+                    {
+                        "url": url,
+                        "attempts": tries,
+                        "ok": content is not None,
+                        "error": err if content is None else None,
+                        **(content or {}),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return dispatch.mapInPandas(run, schema=result_schema)

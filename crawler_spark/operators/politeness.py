@@ -1,0 +1,69 @@
+"""Per-host politeness budget (SURVEY.md §2.4 G6).
+
+The reference bounds fetch concurrency fleet-wide: 15-20 crawler
+replicas (stack.yml:138-139,158-159) and a 40-slot response channel
+(otodom/orchestrator/handler.go:91).  We re-express this as a per-host,
+per-round dispatch budget:
+
+- rank frontier rows within each host by the canonical crawl order
+  (priority, page, url_hash) — reference order is ascending page
+  (PageSorter, otodom/commons/page.go:10-14); priority and url_hash
+  make the tuple total;
+- dispatch the top ``budget(host)`` rows; the rest stay in the frontier
+  for the next round (deferred, attempts unchanged);
+- budget derives from robots crawl_delay:
+  ``base`` when delay==0, else ``clamp(round_ms // delay, 1, base)``.
+
+Skew note (north_rule "salted for hot domains"): the *selection* is a
+per-host window — bounded state per host — and the *dispatch set* is
+then physically repartitioned by (host, salt=url_hash % S) before the
+fetch UDF so one hot host spreads over S tasks without affecting the
+logical order (ordering never depends on partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_KEYS = ["priority", "page", "url_hash"]
+
+DEFAULT_BASE_BUDGET = 8
+DEFAULT_ROUND_MS = 600
+
+
+def host_budget_col(crawl_delay_ms, base_budget: int, round_ms: int):
+    """Budget expression; NULL delay (host missing in robots) → base."""
+    d = F.coalesce(crawl_delay_ms, F.lit(0))
+    return (
+        F.when(d <= 0, F.lit(base_budget))
+        .otherwise(F.greatest(F.lit(1), F.least(F.lit(base_budget), F.floor(F.lit(round_ms) / d))))
+        .cast("int")
+    )
+
+
+def split_by_budget(
+    frontier: DataFrame,
+    robots: DataFrame,
+    base_budget: int = DEFAULT_BASE_BUDGET,
+    round_ms: int = DEFAULT_ROUND_MS,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (dispatch, deferred).  robots is small → broadcast join."""
+    w = Window.partitionBy("host").orderBy(*[F.col(k).asc() for k in ORDER_KEYS])
+    ranked = (
+        frontier.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
+        .withColumn("_budget", host_budget_col(F.col("crawl_delay_ms"), base_budget, round_ms))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    dispatch = ranked.filter(F.col("_rn") <= F.col("_budget")).drop(
+        "_rn", "_budget", "crawl_delay_ms"
+    )
+    deferred = ranked.filter(F.col("_rn") > F.col("_budget")).drop(
+        "_rn", "_budget", "crawl_delay_ms"
+    )
+    return dispatch, deferred
+
+
+def salt_partition(dispatch: DataFrame, num_salts: int = 8) -> DataFrame:
+    """Physical-only: spread hot hosts across tasks for the fetch stage."""
+    return dispatch.repartition(F.col("host"), F.pmod(F.col("url_hash"), F.lit(num_salts)))

@@ -1,0 +1,122 @@
+"""Snapshot-committed parquet state store (SURVEY.md §1.3, §4.2 item 4).
+
+Iceberg-style semantics without the Iceberg runtime jar (not available
+offline in this sandbox — the swap is confined to this module):
+
+- every table is a directory of round-partitioned parquet
+  (``<table>/round=N/``), Hive layout → Catalyst partition-prunes on
+  ``round`` exactly like the reference's Hive-style MinIO paths
+  (storage/handler.go:103);
+- append tables (results, url_seen, metrics, dispatch_log, dead)
+  accumulate one partition per round; the frontier is REWRITTEN whole
+  each round (compaction model — the standard frontier representation;
+  an incremental delta+compact variant is a planned optimization);
+- a round becomes visible only when ``checkpoint.json`` is atomically
+  replaced (tmp + os.replace) AFTER all its partitions are fully
+  written — readers resolve the committed round first and read only
+  partition dirs ≤ it, so a crash mid-round leaves invisible garbage
+  that the next run simply overwrites: snapshot isolation + exactly-
+  once per round (the reference gets idempotence from ON CONFLICT DO
+  NOTHING, commons/Entry.go:37; we get it from atomic manifest swap);
+- resuming = read checkpoint, continue from round+1 (north_rule
+  resumability; equivalence pinned in tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+APPEND_TABLES = ("results", "url_seen", "metrics", "dispatch_log", "dead")
+REWRITE_TABLES = ("frontier",)
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- commit
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.root, "checkpoint.json")
+
+    def committed(self) -> dict | None:
+        p = self._ckpt_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def committed_round(self) -> int:
+        c = self.committed()
+        return -1 if c is None else int(c["round"])
+
+    def write_partition(self, table: str, round_no: int, df: DataFrame) -> None:
+        # `round` lives in the Hive path, not the data files (partition
+        # pruning + no duplicate column on basePath reads).
+        if "round" in df.columns:
+            df = df.drop("round")
+        path = os.path.join(self.root, table, f"round={round_no}")
+        df.write.mode("overwrite").parquet(path)
+
+    def commit(self, round_no: int, stats: dict | None = None) -> None:
+        """Atomically publish round ``round_no`` (and everything before it)."""
+        payload = {
+            "round": round_no,
+            "committed_at_unix": int(time.time()),
+            "stats": stats or {},
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".ckpt.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._ckpt_path())
+
+    # ------------------------------------------------------------- read
+    def _round_dirs(self, table: str, upto: int) -> list[str]:
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if d.startswith("round="):
+                r = int(d.split("=", 1)[1])
+                if r <= upto:
+                    out.append(os.path.join(base, d))
+        return sorted(out)
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """Committed view of an append table (all rounds ≤ checkpoint)."""
+        r = self.committed_round()
+        dirs = self._round_dirs(table, r)
+        if not dirs:
+            assert schema is not None, f"empty table {table} needs an explicit schema"
+            return self.spark.createDataFrame([], schema)
+        base = os.path.join(self.root, table)
+        return self.spark.read.option("basePath", base).parquet(*dirs)
+
+    def read_frontier(self, schema: T.StructType) -> DataFrame:
+        """The frontier snapshot of the committed round only."""
+        r = self.committed_round()
+        path = os.path.join(self.root, "frontier", f"round={r}")
+        if r < 0 or not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------- hygiene
+    def vacuum_uncommitted(self) -> None:
+        """Drop partition dirs beyond the committed round (crash debris)."""
+        r = self.committed_round()
+        for table in APPEND_TABLES + REWRITE_TABLES:
+            base = os.path.join(self.root, table)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("round=") and int(d.split("=", 1)[1]) > r:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)

@@ -1,0 +1,144 @@
+"""End-to-end crawl: Spark engine ≡ pure-Python golden model, + resume.
+
+The north_rule gate: identical crawl ordering (dispatch log) and
+identical final URL-seen set under the same seed list + politeness
+budget.  Fixtures are generated once into tmp parquet; both sides read
+the same files.  One full engine run is shared across assertions (each
+run is dozens of Spark jobs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from crawler_spark import fixtures as FX
+from crawler_spark import schemas as S
+from crawler_spark.engine import CrawlConfig, CrawlEngine
+from crawler_spark.golden import run_golden
+from crawler_spark.sinks import StateStore
+
+BUDGET = 4
+MAX_ROUNDS = 40
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("web"))
+    return FX.write_fixtures(spark, out, n_seeds=10, n_hosts=6, n_images=200)
+
+
+def _make_engine(spark, fixture_paths, root, cfg):
+    store = StateStore(spark, root)
+    return store, CrawlEngine(
+        spark,
+        store,
+        web_pages=spark.read.parquet(fixture_paths["web_pages"]),
+        web_images=spark.read.parquet(fixture_paths["web_images"]),
+        robots=spark.read.parquet(fixture_paths["robots"]),
+        config=cfg,
+    )
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, fixture_paths, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("state-full"))
+    cfg = CrawlConfig(base_budget=BUDGET, max_rounds=MAX_ROUNDS)
+    store, engine = _make_engine(spark, fixture_paths, root, cfg)
+    history = engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    return store, history
+
+
+@pytest.fixture(scope="module")
+def golden(fixture_paths):
+    return run_golden(
+        fixture_paths["seeds"],
+        fixture_paths["web_pages"],
+        fixture_paths["robots"],
+        base_budget=BUDGET,
+        max_rounds=MAX_ROUNDS,
+    )
+
+
+def _spark_outputs(store):
+    log = sorted(
+        (r["round"], r["seq"], r["url_hash"])
+        for r in store.read("dispatch_log").select("round", "seq", "url_hash").collect()
+    )
+    seen = {
+        r["url_hash"]: r["first_round"]
+        for r in store.read("url_seen", S.URL_SEEN).select("url_hash", "first_round").collect()
+    }
+    return log, seen
+
+
+def test_crawl_order_matches_golden(full_run, golden):
+    store, _ = full_run
+    log, _ = _spark_outputs(store)
+    assert log == sorted(golden.dispatch_log), "crawl ordering differs from golden"
+    assert len(log) > 20
+
+
+def test_url_seen_matches_golden(full_run, golden):
+    store, _ = full_run
+    _, seen = _spark_outputs(store)
+    assert seen == golden.seen, "URL-seen set differs from golden"
+
+
+def test_result_rows_match_golden(full_run, golden):
+    store, _ = full_run
+    n = store.read("results").count()
+    assert n == golden.n_results
+    assert n > 0
+
+
+def test_metrics_lineage(full_run):
+    store, _ = full_run
+    m = store.read("metrics").orderBy("round").collect()
+    assert m[0]["message"] == "bootstrap"
+    assert any(r["message"] == "saga completed" for r in m)
+    assert sum(r["n_dispatched"] for r in m) == store.read("dispatch_log").count()
+    assert sum(r["n_fetched"] for r in m) == store.read("url_seen", S.URL_SEEN).count()
+
+
+def test_single_seed_reference_mode(spark, fixture_paths, tmp_path):
+    """G7 pin: the reference processes exactly one seed per run."""
+    cfg = CrawlConfig(base_budget=BUDGET, max_rounds=MAX_ROUNDS, seed_limit=1)
+    store, engine = _make_engine(spark, fixture_paths, str(tmp_path / "s1"), cfg)
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    g = run_golden(
+        fixture_paths["seeds"],
+        fixture_paths["web_pages"],
+        fixture_paths["robots"],
+        base_budget=BUDGET,
+        max_rounds=MAX_ROUNDS,
+        seed_limit=1,
+    )
+    log, seen = _spark_outputs(store)
+    assert log == sorted(g.dispatch_log)
+    assert seen == g.seen
+
+
+def test_checkpoint_resume_equivalence(spark, fixture_paths, tmp_path, full_run):
+    """Interrupt after round 2 (with crash debris), resume → identical
+    final state to the uninterrupted run (north_star resumability)."""
+    full_store, _ = full_run
+    part_root = str(tmp_path / "part")
+    store, engine = _make_engine(
+        spark, fixture_paths, part_root, CrawlConfig(base_budget=BUDGET, max_rounds=2)
+    )
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert store.committed_round() == 2
+    # fake crash debris: half-written round 3
+    debris = os.path.join(part_root, "results", "round=3")
+    os.makedirs(debris, exist_ok=True)
+    with open(os.path.join(debris, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+
+    _, engine2 = _make_engine(
+        spark, fixture_paths, part_root, CrawlConfig(base_budget=BUDGET, max_rounds=MAX_ROUNDS)
+    )
+    engine2.run(resume=True)
+    assert _spark_outputs(store) == _spark_outputs(full_store)
+    assert store.read("results").count() == full_store.read("results").count()

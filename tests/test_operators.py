@@ -1,0 +1,122 @@
+"""Unit tests per SURVEY.md §2 operator, incl. pinned reference quirks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import dedup as D
+from crawler_spark.operators import extract as E
+from crawler_spark.operators import politeness as P
+from crawler_spark.operators import robots as R
+from crawler_spark.operators.ranking import global_sequence
+
+
+# ---- P3: the reference's own test corpus (extensions_test.go:11-15)
+def test_extract_number_reference_corpus(spark):
+    cases = [
+        ("40 zł/m²", "40"),
+        ("39 m²", "39"),
+        ("1 100 zł /mc", "1100"),  # non-breaking space grouping
+        ("no digits here", ""),
+        ("a1b2c3", "123"),  # digit-run concatenation
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["raw"])
+    got = {r["raw"]: r["out"] for r in df.select("raw", E.extract_number("raw").alias("out")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want
+
+
+# ---- P4: absent predicate → whole string (reference panics; pinned sane)
+def test_take_before(spark):
+    df = spark.createDataFrame(
+        [("https://x/oferta/a-ID1.html#frag",), ("https://x/no-suffix",)], ["link"]
+    )
+    got = [r[0] for r in df.select(E.take_before("link", ".html")).collect()]
+    assert got == ["https://x/oferta/a-ID1", "https://x/no-suffix"]
+
+
+# ---- P5: '?' vs '&' page param (total_pages/handler.go:54-60)
+def test_with_page_param(spark):
+    df = spark.createDataFrame([("https://h/list?cat=1",), ("https://h/list",)], ["url"])
+    got = [r[0] for r in df.select(E.with_page_param("url", F.lit(3))).collect()]
+    assert got == ["https://h/list?cat=1&page=3", "https://h/list?page=3"]
+
+
+# ---- P6: skip-on-parse-error
+def test_safe_int(spark):
+    df = spark.createDataFrame([("12",), ("next",), ("",)], ["t"])
+    got = [r[0] for r in df.select(E.safe_int("t")).collect()]
+    assert got == [12, None, None]
+
+
+# ---- G6: politeness budget math + split
+def test_politeness_split(spark):
+    frontier = spark.createDataFrame(
+        [("h1", i, 0, i, -1000 + i) for i in range(10)]
+        + [("h2", i, 0, i, 2000 + i) for i in range(3)],
+        "host: string, page: int, priority: int, seed_id: int, url_hash: long",
+    )
+    robots = spark.createDataFrame(
+        [("h1", "", 500), ("h2", "", 0)], "host: string, disallow_prefix: string, crawl_delay_ms: int"
+    )
+    dispatch, deferred = P.split_by_budget(frontier, robots, base_budget=8, round_ms=600)
+    d = dispatch.groupBy("host").count().collect()
+    counts = {r["host"]: r["count"] for r in d}
+    assert counts == {"h1": 1, "h2": 3}  # 600//500=1; delay 0 → base(capped by rows)
+    assert deferred.count() == 9
+    # lowest (priority, page, url_hash) wins within host
+    keep = dispatch.filter(F.col("host") == "h1").collect()[0]
+    assert keep["page"] == 0
+
+
+# ---- robots gate
+def test_robots_split(spark):
+    cand = spark.createDataFrame(
+        [
+            ("h1", "https://h1/list?cat=1", 1),
+            ("h1", "https://h1/other", 2),
+            ("h2", "https://h2/list?cat=2", 3),
+        ],
+        "host: string, url: string, url_hash: long",
+    )
+    robots = spark.createDataFrame(
+        [("h1", "/list", 0), ("h2", "", 0)],
+        "host: string, disallow_prefix: string, crawl_delay_ms: int",
+    )
+    allowed, blocked = R.split_robots(cand, robots)
+    assert sorted(r["url_hash"] for r in allowed.collect()) == [2, 3]
+    assert [r["url_hash"] for r in blocked.collect()] == [1]
+
+
+# ---- U2/F4: bloom-prefiltered anti-join ≡ exact anti-join
+def test_bloom_anti_join_equivalence(spark):
+    seen = spark.range(0, 5000, 2).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 5000).select(
+        F.col("id").alias("url_hash"), (F.col("id") * 10).alias("payload")
+    )
+    exact = D.anti_join_seen(cands, seen, None)
+    filters = D.build_seen_filters(seen, n_parts=8)
+    assert filters.count() == 4  # seen hashes are all even → 4 of 8 partitions
+    with_bloom = D.anti_join_seen(cands, seen, filters, n_parts=8)
+    a = sorted(r["url_hash"] for r in exact.collect())
+    b = sorted(r["url_hash"] for r in with_bloom.collect())
+    assert a == b == list(range(1, 5000, 2))
+
+
+# ---- deterministic global sequence, partition-invariant
+def test_global_sequence_partition_invariant(spark):
+    import random
+
+    rows = [(i % 3, i % 7, random.Random(i).randrange(-(2**40), 2**40) * 2 + i) for i in range(500)]
+    base = spark.createDataFrame(rows, "priority: int, page: int, url_hash: long")
+    outs = []
+    for nparts in (1, 4, 13):
+        df = base.repartition(nparts)
+        seq = global_sequence(df, ["priority", "page", "url_hash"], num_partitions=nparts)
+        got = {r["url_hash"]: r["seq"] for r in seq.collect()}
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    # seq is the rank in the canonical sort
+    ordered = [h for _, _, h in sorted(rows)]
+    for i, h in enumerate(ordered, start=1):
+        assert outs[0][h] == i
