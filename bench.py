@@ -1,0 +1,149 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl
+engine end-to-end on deterministic synthetic fixtures, and prints ONE
+JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "crawl": {...}}
+
+Per-query timing includes full materialization (count of every result
+row) so lazy plans can't fake speed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from crawler_spark import contract
+from crawler_spark.engine import CrawlConfig, CrawlEngine
+from crawler_spark.fixtures import write_fixtures
+from crawler_spark.session import get_spark
+from crawler_spark.sinks import StateStore
+
+# Headline set: the queries that exercise the scale-relevant plans
+# (shuffles, windows, joins, text scans).  Quadratic-pair correctness
+# ops (q_ngram_jaccard etc.) are oracle-checked at sf0.01 by the
+# driver but are not throughput headliners.
+HEADLINE = [
+    "q_equi_join",
+    "q_broadcast_join",
+    "q_max_page",
+    "q_group_collect",
+    "q_metrics_counts",
+    "q_anti_join_dedup",
+    "q_order_by",
+    "q_host_budget_topk",
+    "q_sessionize",
+    "q_crawl_round",
+    "q_frontier_expand",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_shingle_stats",
+    "q_simhash_neardup",
+    "q_embedding_topk",
+    "q_embedding_lsh_topk",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = contract.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_crawl(spark, n_seeds: int = 300, n_hosts: int = 24, n_images: int = 1500) -> dict:
+    """End-to-end crawl-engine rounds on synthetic fixtures.
+
+    Fixture generation is excluded from timing; reported metrics are
+    the north-rule pair: dispatched-URLs/sec and frontier-expansion
+    wall-time (bootstrap + merge stages measured via round wall time).
+    """
+    tmp = tempfile.mkdtemp(prefix="crawl-bench-")
+    try:
+        fix_dir = os.path.join(tmp, "fixtures")
+        paths = write_fixtures(
+            spark, fix_dir, n_seeds=n_seeds, n_hosts=n_hosts, n_images=n_images
+        )
+        seeds = spark.read.parquet(paths["seeds"])
+        web_pages = spark.read.parquet(paths["web_pages"])
+        web_images = spark.read.parquet(paths["web_images"])
+        robots = spark.read.parquet(paths["robots"])
+
+        store = StateStore(spark, os.path.join(tmp, "state"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            web_pages,
+            web_images,
+            robots,
+            CrawlConfig(base_budget=16, max_rounds=12),
+        )
+        t0 = time.perf_counter()
+        history = eng.run(seeds=seeds)
+        wall = time.perf_counter() - t0
+        n_dispatched = sum(h["n_dispatched"] for h in history)
+        n_results = sum(h["n_results"] for h in history)
+        return {
+            "rounds": len(history),
+            "n_dispatched": n_dispatched,
+            "n_results": n_results,
+            "wall_sec": round(wall, 3),
+            "urls_per_sec": round(n_dispatched / wall, 2) if wall > 0 else None,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"bench: SPARK_GRAFT_SF_DIR does not exist: {sf_dir}")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(app_name="crawler-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    try:
+        # warm the JVM/parquet footers so timings measure the plans
+        contract.q_metrics_counts(spark, sf_dir).count()
+
+        t0 = time.perf_counter()
+        queries = bench_queries(spark, sf_dir)
+        crawl = bench_crawl(spark)
+        total = round(time.perf_counter() - t0, 3)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_plus_crawl_e2e_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "crawl": crawl,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

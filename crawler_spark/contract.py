@@ -1,0 +1,604 @@
+"""Driver-contract queries: every SURVEY.md §2 operator (and the
+training-data ops) as a (spark, sf_dir) → DataFrame callable with a
+DuckDB-runnable oracle SQL mirror.
+
+Column-name discipline: every computed column is aliased identically
+in the Spark builder and the oracle SQL (the driver's compare sorts
+columns by name and value-hashes).  Types are pinned cross-engine:
+counts/ranks → BIGINT, money → integer cents, similarity/score
+doubles → round(x, 4).
+
+Operator → query mapping is the one planned in SURVEY.md §2.8
+("Driver-contract queries").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import neardup as ND
+from .functions import similarity as SIM
+from .functions import text as TX
+from .functions.multimodal import attach_synthetic_images, decode_meta
+from .operators.extract import extract_number, take_before, with_page_param
+from .operators.ranking import global_sequence
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.2 scalar extraction operators
+# =====================================================================
+def q_extract_number(spark, sf):
+    """P3 — ExtractNumber (otodom/commons/extensions.go:10-17)."""
+    return _t(spark, sf, "part").select(
+        "p_partkey", extract_number("p_name").alias("digits")
+    )
+
+
+def q_substring_before(spark, sf):
+    """P4 — TakeChractersBefore (otodom/commons/extensions.go:20-22)."""
+    return _t(spark, sf, "part").select(
+        "p_partkey", take_before("p_type", " ").alias("head")
+    )
+
+
+def q_page_url(spark, sf):
+    """P5 — page-param URL construction (total_pages/handler.go:54-60)."""
+    part = _t(spark, sf, "part")
+    base = F.concat(
+        F.lit("https://example.com/p/"),
+        F.col("p_partkey").cast("string"),
+        F.when(F.col("p_size") % 2 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    page = (F.pmod(F.col("p_partkey"), F.lit(5)) + 1).cast("long")
+    return part.select("p_partkey", with_page_param(base, page).alias("page_url"))
+
+
+def q_safe_cast(spark, sf):
+    """P6 — strconv.Atoi skip-on-error (total_pages/handler.go:30-43)."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.regexp_extract("props", r"[0-9]+", 0).try_cast("long").alias("k_val"),
+    )
+
+
+# =====================================================================
+# §2.4 frontier expansion / joins
+# =====================================================================
+def q_frontier_expand(spark, sf):
+    """G2 — page-range generator, 1..last_page-1 off-by-one pinned
+    (total_pages/handler.go:53-65); last_page := p_size%8+3."""
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.explode(
+                F.sequence(F.lit(1), F.pmod(F.col("p_size"), F.lit(8)) + F.lit(2))
+            ).alias("_page"),
+        )
+        .select("p_partkey", F.col("_page").cast("long").alias("page"))
+    )
+
+
+def q_max_page(spark, sf):
+    """G1/A3 — max aggregation (total_pages/handler.go:36-42)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderkey").alias("max_order"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_equi_join(spark, sf):
+    """G4 — fetch = frontier⋈web as an equi hash join (orchestrator
+    handler.go:132-138), here orders⋈lineitem with exact-cents agg."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum(cents).alias("revenue_cents"))
+    )
+
+
+def q_broadcast_join(spark, sf):
+    """G4 broadcast variant — small dims broadcast (robots/seeds shape)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), F.sum(cents).alias("acctbal_cents"))
+    )
+
+
+# =====================================================================
+# §2.5 aggregation / §2.7 set ops / §2.3 filters
+# =====================================================================
+def q_group_collect(spark, sf):
+    """A1/A2 — group-by key + set-accumulate (orchestrator:99-119)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        )
+    )
+
+
+def q_metrics_counts(spark, sf):
+    """A4 — counts → metrics rows."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(qty).alias("sum_qty"))
+    )
+
+
+def q_union_all(spark, sf):
+    """U1 — entries union (orchestrator:108-113)."""
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key"), F.lit("orders").alias("src")
+    )
+    l = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.lit("lineitem").alias("src")
+    )
+    return o.unionByName(l)
+
+
+def q_anti_join_dedup(spark, sf):
+    """U2/F4 — ON CONFLICT DO NOTHING as left_anti (commons/Entry.go:37)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_filter_nonempty(spark, sf):
+    """F1-F3 — skip empty-keyed / nil batches (orchestrator:101-112)."""
+    return (
+        _t(spark, sf, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & (F.col("event_type") != "")
+            & F.col("props").isNotNull()
+        )
+        .select("event_id", "event_type")
+    )
+
+
+# =====================================================================
+# §2.6 ordering / §2.8 windows
+# =====================================================================
+def q_order_by(spark, sf):
+    """O1 — canonical total order via the scalable global_sequence
+    operator (partition-count-invariant, crawler_spark.operators.ranking)."""
+    part = _t(spark, sf, "part").select("p_partkey", "p_size")
+    return global_sequence(part, ["p_size", "p_partkey"]).select(
+        "p_partkey", "p_size", "seq"
+    )
+
+
+def q_host_budget_topk(spark, sf):
+    """G6 — per-host politeness budget as window rank ≤ 3."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_sessionize(spark, sf):
+    """Streaming-shaped stateful op: 30-min-gap sessionization via
+    lag + running sum (batch mirror of applyInPandasWithState)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        _t(spark, sf, "events")
+        .withColumn(
+            "session_id",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def q_crawl_round(spark, sf):
+    """Flagship composite — one politeness-budgeted crawl round over
+    relational fixtures: frontier=orders (host=o_custkey), budget 2/host,
+    fetch=⋈lineitem, global dispatch sequence (SURVEY.md §3.1 shape)."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").select("l_orderkey")
+    pri = F.substring("o_orderpriority", 1, 1).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("pri").asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    dispatch = (
+        o.withColumn("pri", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    fetched = (
+        dispatch.join(l, dispatch.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_custkey", "o_orderkey", "pri")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+    return global_sequence(fetched, ["pri", "o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "pri", "n_items", "seq"
+    )
+
+
+# =====================================================================
+# Training-data ops: text analysis
+# =====================================================================
+def q_dedup_exact(spark, sf):
+    """Exact dedup groups by md5(canonical text)."""
+    return ND.exact_dup_groups(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    """Row-level document fingerprint (portable md5 key)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    )
+
+
+def q_token_count(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_score(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        TX.punct_count("text").alias("n_punct"),
+        TX.quality_score("text").alias("quality_bp"),
+    )
+
+
+def q_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    scores = TX.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        *[scores[lg].alias(f"s_{lg}") for lg in TX.LANG_STOPWORDS],
+        TX.predicted_lang("text").alias("pred_lang"),
+    )
+
+
+def q_shingle_stats(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.size(TX.char_shingles("text", 5)).cast("long").alias("n_shingles")
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    """EXACT n-gram-Jaccard near-dup pairs (shared-shingle candidates)."""
+    return ND.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
+
+
+def q_minhash_neardup(spark, sf):
+    """MinHash+LSH near-dup pairs, exact-verified (rows-only check:
+    xxhash64 signatures are not reproducible in DuckDB)."""
+    return ND.minhash_neardup_pairs(_t(spark, sf, "documents"), threshold=0.4)
+
+
+def q_simhash_neardup(spark, sf):
+    """SimHash signatures + Hamming≤3 pairs (rows-only check)."""
+    sigs = ND.simhash64(_t(spark, sf, "documents"))
+    return ND.simhash_neardup_pairs(sigs, max_hamming=3)
+
+
+def q_rolling_fingerprint(spark, sf):
+    """Winnowing-style min-hash fingerprint (rows-only: xxhash64)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.rolling_fingerprint("text").alias("rfp")
+    )
+
+
+# =====================================================================
+# Training-data ops: embeddings
+# =====================================================================
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-10 vs vec_id=0 (exact ANN baseline)."""
+    return SIM.topk_bruteforce(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_knn_per_vec(spark, sf):
+    """Exact 3-NN for every vector (per-cell IVF kernel shape)."""
+    return SIM.pairwise_topk_bruteforce(_t(spark, sf, "embeddings"), k=3)
+
+
+def q_embedding_lsh_topk(spark, sf):
+    """LSH-bucketed approximate top-10 vs vec_id=0 (rows-only check:
+    approximate by construction)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.topk_lsh(emb, query_vec_id=0, dim=64, k=10)
+
+
+# =====================================================================
+# Training-data ops: multimodal
+# =====================================================================
+def q_image_decode_meta(spark, sf):
+    """Binary-payload decode plumbing over deterministic synthetic
+    payloads derived from doc_ids (rows-only: binary codecs are not
+    DuckDB-expressible)."""
+    docs = _t(spark, sf, "documents").limit(200)
+    imgs = attach_synthetic_images(docs, "doc_id")
+    return decode_meta(imgs).select("image_id", "dec_w", "dec_h", "dec_phash", "decode_ok")
+
+
+# =====================================================================
+# registry + oracles
+# =====================================================================
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_extract_number": q_extract_number,
+    "q_substring_before": q_substring_before,
+    "q_page_url": q_page_url,
+    "q_safe_cast": q_safe_cast,
+    "q_frontier_expand": q_frontier_expand,
+    "q_max_page": q_max_page,
+    "q_equi_join": q_equi_join,
+    "q_broadcast_join": q_broadcast_join,
+    "q_group_collect": q_group_collect,
+    "q_metrics_counts": q_metrics_counts,
+    "q_union_all": q_union_all,
+    "q_anti_join_dedup": q_anti_join_dedup,
+    "q_filter_nonempty": q_filter_nonempty,
+    "q_order_by": q_order_by,
+    "q_host_budget_topk": q_host_budget_topk,
+    "q_sessionize": q_sessionize,
+    "q_crawl_round": q_crawl_round,
+    "q_dedup_exact": q_dedup_exact,
+    "q_fingerprint": q_fingerprint,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_shingle_stats": q_shingle_stats,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_neardup": q_minhash_neardup,
+    "q_simhash_neardup": q_simhash_neardup,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
+    "q_embedding_topk": q_embedding_topk,
+    "q_knn_per_vec": q_knn_per_vec,
+    "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_image_decode_meta": q_image_decode_meta,
+}
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(norm)-4, 0)),"
+    " i -> substr(norm, i, 5)))"
+)
+
+ORACLES: dict[str, str] = {
+    "q_extract_number": (
+        "SELECT p_partkey, regexp_replace(p_name, '[^0-9]', '', 'g') AS digits FROM part"
+    ),
+    "q_substring_before": (
+        "SELECT p_partkey, split_part(p_type, ' ', 1) AS head FROM part"
+    ),
+    "q_page_url": """
+        WITH b AS (
+          SELECT p_partkey,
+                 'https://example.com/p/' || p_partkey ||
+                   (CASE WHEN p_size % 2 = 0 THEN '?q=1' ELSE '' END) AS base,
+                 (p_partkey % 5) + 1 AS pg
+          FROM part)
+        SELECT p_partkey,
+               base || (CASE WHEN contains(base, '?') THEN '&page=' ELSE '?page=' END)
+                    || pg AS page_url
+        FROM b
+    """,
+    "q_safe_cast": (
+        "SELECT event_id, try_cast(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_val"
+        " FROM events"
+    ),
+    "q_frontier_expand": (
+        "SELECT p_partkey, cast(unnest(generate_series(1, (p_size % 8) + 2)) AS BIGINT)"
+        " AS page FROM part"
+    ),
+    "q_max_page": (
+        "SELECT o_custkey, max(o_orderkey) AS max_order, count(*) AS n_orders"
+        " FROM orders GROUP BY o_custkey"
+    ),
+    "q_equi_join": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "q_broadcast_join": """
+        SELECT r_name, count(*) AS n_customers,
+               cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_group_collect": """
+        SELECT user_id, count(*) AS n_events,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        FROM events GROUP BY user_id
+    """,
+    "q_metrics_counts": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               cast(sum(cast(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_union_all": (
+        "SELECT o_orderkey AS key, 'orders' AS src FROM orders"
+        " UNION ALL SELECT l_orderkey AS key, 'lineitem' AS src FROM lineitem"
+    ),
+    "q_anti_join_dedup": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_filter_nonempty": (
+        "SELECT event_id, event_type FROM events WHERE event_type IS NOT NULL"
+        " AND event_type <> '' AND props IS NOT NULL"
+    ),
+    "q_order_by": (
+        "SELECT p_partkey, p_size, cast(row_number() OVER (ORDER BY p_size, p_partkey)"
+        " AS BIGINT) AS seq FROM part"
+    ),
+    "q_host_budget_topk": """
+        SELECT user_id, event_id, cast(rn AS BIGINT) AS rn FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn <= 3
+    """,
+    "q_sessionize": """
+        SELECT user_id, event_id,
+               cast(sum(CASE WHEN prev IS NULL
+                             OR cast(epoch(ts) AS BIGINT) - cast(epoch(prev) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+    """,
+    "q_crawl_round": """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+                 row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY cast(substr(o_orderpriority, 1, 1) AS BIGINT),
+                              o_orderdate, o_orderkey) AS rn
+          FROM orders),
+        dispatch AS (SELECT * FROM ranked WHERE rn <= 2),
+        fetched AS (
+          SELECT d.o_custkey, d.o_orderkey, d.pri, count(l.l_orderkey) AS n_items
+          FROM dispatch d LEFT JOIN lineitem l ON l.l_orderkey = d.o_orderkey
+          GROUP BY d.o_custkey, d.o_orderkey, d.pri)
+        SELECT o_custkey, o_orderkey, pri, n_items,
+               cast(row_number() OVER (ORDER BY pri, o_orderkey) AS BIGINT) AS seq
+        FROM fetched
+    """,
+    "q_dedup_exact": f"""
+        SELECT md5({_NORM}) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+        FROM documents GROUP BY 1
+    """,
+    "q_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+    "q_token_count": r"""
+        SELECT doc_id,
+               cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               cast(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "q_quality_score": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 cast(len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS n_stopwords,
+                 cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+                      AS n_punct,
+                 greatest(cast(length(text) AS DOUBLE), 1.0) AS chars
+          FROM documents)
+        SELECT doc_id, n_tokens, n_stopwords, n_punct,
+               cast(floor(5000 * least(n_tokens, 128) / 128) AS BIGINT)
+             + least(cast(floor(24000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT),
+                     3000)
+             + 2000 - least(cast(floor(40000 * n_punct / chars) AS BIGINT), 2000)
+               AS quality_bp
+        FROM s
+    """,
+    "q_lang_id": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 cast(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS s_en,
+                 cast(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+                      AS BIGINT) AS s_de,
+                 cast(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b'))
+                      AS BIGINT) AS s_fr,
+                 cast(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b'))
+                      AS BIGINT) AS s_es
+          FROM documents)
+        SELECT doc_id, s_en, s_de, s_fr, s_es,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM s
+    """,
+    "q_shingle_stats": f"""
+        SELECT doc_id, cast(len({_SHINGLES}) AS BIGINT) AS n_shingles
+        FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    """,
+    "q_ngram_jaccard": f"""
+        WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT a, b,
+                 round(cast(inter AS DOUBLE)
+                       / cast(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b)
+        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    # CAST(... AS DOUBLE[]): duckdb's list_cosine_similarity computes in
+    # float32 on FLOAT[] inputs; Spark's aggregate() accumulates in double.
+    "q_embedding_topk": """
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)), 4) AS sim
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    "q_knn_per_vec": """
+        WITH sims AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 4) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, nbr_id) AS rn
+          FROM sims)
+        SELECT vec_id, nbr_id, sim, cast(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 3
+    """,
+    # rows-only (no oracle): q_minhash_neardup, q_simhash_neardup,
+    # q_rolling_fingerprint, q_embedding_lsh_topk, q_image_decode_meta
+}

@@ -1,0 +1,223 @@
+"""Multimodal (image/audio/video-shaped) column plumbing.
+
+Binary payloads are opaque ``binary`` columns + typed metadata — the
+input_hint table shape (image_id, bytes, w, h, fmt, caption, phash).
+Real decode for the two in-repo codecs (crawler_spark.images: PNG +
+deterministic lossy stand-in); audio/video decoding has no library in
+this container, so those steps are deterministic fakes behind the same
+Spark plumbing (schema, batch shape, partitioning) — swap the kernel,
+keep the plan.
+
+Everything is ``mapInPandas``/``pandas_udf`` over Arrow batches; bytes
+never enter a shuffle (operators take/return the metadata projection
+and join payloads back by id when needed — project early, join late).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import images as I
+
+DECODED_META = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("dec_w", T.IntegerType(), True),
+        T.StructField("dec_h", T.IntegerType(), True),
+        T.StructField("dec_phash", T.LongType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_meta(images: DataFrame) -> DataFrame:
+    """Decode every payload → measured (w, h, phash, mean luma).
+
+    The check column ``decode_ok`` is False (with NULL metrics) for
+    corrupt payloads instead of failing the task — bad bytes at 100 TB
+    are data, not exceptions.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_META.fields}
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = I.decode_image(bytes(data), str(fmt))
+                    out["image_id"].append(img_id)
+                    out["dec_w"].append(px.shape[1])
+                    out["dec_h"].append(px.shape[0])
+                    out["dec_phash"].append(I.phash64(px))
+                    out["mean_luma"].append(
+                        float(np.round(px.astype(np.float64).mean(), 4))
+                    )
+                    out["decode_ok"].append(True)
+                except Exception:
+                    out["image_id"].append(img_id)
+                    out["dec_w"].append(None)
+                    out["dec_h"].append(None)
+                    out["dec_phash"].append(None)
+                    out["mean_luma"].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=DECODED_META)
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Block-mean resize of every decodable payload, re-encoded PNG.
+
+    Real kernel (no interpolation library needed: index-binned mean,
+    the same construction phash64 uses)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in RESIZED.fields}
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = I.decode_image(bytes(data), str(fmt)).astype(np.float64)
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = np.add.reduceat(np.add.reduceat(px, yi, axis=0), xi, axis=1)
+                cnt = np.outer(np.diff(np.append(yi, h)), np.diff(np.append(xi, w)))
+                small = np.clip(small / cnt[..., None], 0, 255).astype(np.uint8)
+                rows["image_id"].append(img_id)
+                rows["bytes"].append(I.encode_png(small))
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["fmt"].append("png")
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=RESIZED)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature extraction: decoded pixels → L2-normalized feature vector.
+
+    STAND-IN model (no vision library in this container): 4×4 block
+    luma means + channel histograms, deterministic.  The Spark-side
+    contract (schema, Arrow batching, normalization) is the real
+    production shape — swap this kernel for an ONNX/torch call.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = I.decode_image(bytes(data), str(fmt)).astype(np.float64)
+                h, w, _ = px.shape
+                luma = px @ np.array([0.299, 0.587, 0.114])
+                yi = (np.arange(4) * h) // 4
+                xi = (np.arange(4) * w) // 4
+                blocks = np.add.reduceat(np.add.reduceat(luma, yi, axis=0), xi, axis=1)
+                cnt = np.outer(np.diff(np.append(yi, h)), np.diff(np.append(xi, w)))
+                feat = [ (blocks / cnt).flatten() / 255.0 ]
+                for c in range(3):
+                    hist, _ = np.histogram(px[..., c], bins=16, range=(0, 256))
+                    feat.append(hist / max(1, h * w))
+                v = np.concatenate(feat)
+                if len(v) < dim:
+                    v = np.pad(v, (0, dim - len(v)))
+                v = v[:dim]
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n > 0 else v).astype(np.float32).tolist())
+                ids.append(img_id)
+            yield pd.DataFrame({"image_id": ids, "embedding": vecs})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+def frame_sample(video: DataFrame, every_n: int = 8) -> DataFrame:
+    """'Video' frame sampling stub: payloads are treated as concatenated
+    fixed-size frame blocks; emit every n-th block.  Deterministic fake
+    decode (no av library in this container — NotImplementedError on
+    real containers); the plumbing (explode to frame rows, binary
+    projection, Arrow batching) is the real shape.
+    """
+    frame_bytes = 3 * 16 * 16  # fake fixed 16×16 RGB frame blocks
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, frames = [], [], []
+            for vid, data in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(data)
+                if raw[:4] in (b"\x00\x00\x00\x18", b"RIFF"):
+                    raise NotImplementedError(
+                        "real container formats need an av library; "
+                        "this sandbox ships the deterministic fake only"
+                    )
+                n_frames = len(raw) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    vids.append(vid)
+                    idxs.append(i)
+                    frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"image_id": vids, "frame_idx": idxs, "frame": frames})
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+    return video.select("image_id", "bytes").mapInPandas(run, schema=schema)
+
+
+def attach_synthetic_images(
+    df: DataFrame, id_col: str, seed: int = 42, w: int = 32, h: int = 32
+) -> DataFrame:
+    """Derive a deterministic image payload per row from an integer id —
+    lets multimodal operators run over driver-provided tables that have
+    no binary column (plumbing demo; NOT used for fixtures)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks = pdf[id_col].to_numpy()
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for k in ks:
+                k = int(k)
+                fmt = "png" if k % 2 == 0 else "jpeg"
+                px = I.gen_pixels(seed, k, w, h)
+                rows["image_id"].append(f"img-{k:012d}")
+                rows["bytes"].append(I.encode_image(px, fmt))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema=schema)

@@ -1,0 +1,293 @@
+"""Deduplication operators over a document corpus.
+
+Four tiers, each the standard web-corpus construction (Broder '97
+shingling/minhash; Charikar '02 simhash), re-expressed Spark-first:
+
+- **exact**       — md5(canonical text) groupBy.  One shuffle on a
+  16-byte key; at 100 TB this is the cheapest possible full-corpus
+  dedup (combiner-backed, no skew risk beyond genuinely duplicated
+  docs, which AQE skew-split absorbs).
+- **n-gram Jaccard** — exact pairwise Jaccard over char-5-gram sets,
+  candidates restricted to pairs sharing ≥1 shingle (any pair with
+  J>0 shares one, so this is EXACT, not approximate).  Shingles are
+  hashed to int64 JVM-side before the self-join so the shuffle moves
+  8-byte keys, never strings.  O(pairs-sharing-a-shingle) — fine per
+  LSH bucket or small corpus; the 100 TB path is minhash below.
+- **MinHash + LSH** — k permutations via the (a*h+b) mod p universal
+  family over shingle xxhash64s (numpy matrix per Arrow batch —
+  vectorized, no per-row Python); band-hash bucketing → candidate
+  pairs → exact Jaccard verification of candidates only.
+- **SimHash**     — 64-bit signature from token xxhash64s, computed
+  entirely in JVM aggregates (explode tokens → 64 conditional sums →
+  bit reassembly); near-dup = Hamming distance ≤ t via bit_count(xor),
+  candidates from 16-bit band buckets (pigeonhole: d≤3 ⇒ some band of
+  4 equal).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import char_shingles, fingerprint, norm_text
+
+MERSENNE_P = (1 << 61) - 1
+
+
+# ----------------------------------------------------------------- exact
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct canonical text: (fp, n_dups, keeper=min id)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each canonical-text group."""
+    keepers = exact_dup_groups(docs, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# ------------------------------------------------------------ shingle sets
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, shingle_hashes: array<long>) — distinct char n-grams hashed
+    JVM-side (xxhash64).  Arrays stay un-exploded until a consumer
+    needs the shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.transform(char_shingles(text_col, n), lambda g: F.xxhash64(g)).alias("shingle_hashes"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT near-dup pairs by char-n-gram Jaccard ≥ threshold.
+
+    candidates = pairs sharing ≥1 shingle hash (equi self-join on the
+    8-byte hash); |A∩B| = per-pair match count; |A∪B| = |A|+|B|-|A∩B|.
+    Output: (a, b, jaccard) with a < b, jaccard rounded to 4 decimals.
+    """
+    sh = shingle_hashes(docs, id_col, text_col, n)
+    sizes = sh.select(F.col(id_col), F.size("shingle_hashes").cast("long").alias("n_sh"))
+    exploded = sh.select(F.col(id_col), F.explode("shingle_hashes").alias("sh"))
+    pairs = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "sh")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- minhash
+def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=k, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    shingled: DataFrame, k: int = 64, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig: array<long>) — k-permutation MinHash over shingle hashes.
+
+    Arrow-batched numpy: one (k × m) modular-multiply per doc, no
+    per-row Python interpretation of the inner loop.  Empty shingle
+    sets get the all-MAX signature (never collides).
+    """
+    a, b = _perm_params(k, seed)
+    a_o = np.array(a, dtype=object)  # python ints: exact 122-bit products
+    b_o = np.array(b, dtype=object)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append([np.iinfo(np.int64).max] * k)
+                continue
+            h = np.array([int(x) & ((1 << 61) - 1) for x in arr], dtype=object)
+            # (k, m) universal-hash matrix, min along m
+            mat = (a_o[:, None] * h[None, :] + b_o[:, None]) % MERSENNE_P
+            out.append([int(v) for v in mat.min(axis=1)])
+        return pd.Series(out)
+
+    return shingled.select(F.col(id_col), sig_udf("shingle_hashes").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (bands × rows = k), bucket by band hash, emit
+    distinct candidate pairs (a < b).  The band hash is xxhash64 over
+    the band's slice serialized to a string — JVM-side."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", i * rows + 1, rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: candidates from banding, then EXACT
+    Jaccard verification of candidates only (no false positives in the
+    output; recall governed by the banding curve).  The 100 TB path:
+    all shuffles move (int64 key, int64 id) pairs."""
+    sh = shingle_hashes(docs, id_col, text_col, n).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, k, seed, id_col), bands, rows, id_col)
+    sizes = sh.select(F.col(id_col), F.size("shingle_hashes").cast("long").alias("n_sh"))
+    ex = sh.select(F.col(id_col), F.explode("shingle_hashes").alias("sh"))
+    # exact intersection via explode+join restricted to candidate ids
+    cand_ids = cand.select(F.col("a").alias(id_col)).union(
+        cand.select(F.col("b").alias(id_col))
+    ).distinct()
+    ex_c = ex.join(cand_ids, id_col, "left_semi")
+    inter = (
+        ex_c.alias("x")
+        .join(ex_c.alias("y"), "sh")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .join(cand, ["a", "b"], "left_semi")  # only LSH candidates
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------- simhash
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash, 100% JVM aggregates.
+
+    explode(tokens) → xxhash64 → per-doc, for each bit j: sum(±1 by
+    bit j of the token hash) → bit j of the signature = sign.  64
+    conditional sums in ONE hash-aggregate pass (map-side combined).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (1 << j) if j < 63 else -(1 << 63)  # j=63 is the sign bit
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(bit).cast("long")).otherwise(F.lit(0))
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ t, banded for scale:
+    split the 64-bit sig into 4×16-bit bands; d≤3 ⇒ at least one band
+    identical (pigeonhole) → equi-join per band, verify bit_count(xor).
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

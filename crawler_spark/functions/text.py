@@ -1,0 +1,153 @@
+"""Text-analysis column expressions (token counting, quality scoring,
+language ID, fingerprinting, shingling).
+
+All pure JVM built-in expressions — they compile into whole-stage
+codegen and survive 100 TB scans without Python in the loop.  Each has
+an exact ANSI-SQL mirror registered in ``__spark_entry__.oracle_sql``
+so DuckDB oracle-checks the semantics (driver contract).
+
+Grounding: the reference's only text ops are ExtractNumber /
+TakeChractersBefore (otodom/commons/extensions.go:10-22); these extend
+that scalar-extraction layer to corpus curation (dedup keys, quality
+filters) per the graft brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword sets for the n-gram language heuristic.  Deliberately tiny
+# and deterministic: the score is what's contract-checked, not real
+# linguistic accuracy.
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|a)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+PUNCT_CLASS = r"[^.,;:!?]"
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, whitespace collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the canonical form (exact-dup key).
+
+    md5 (not xxhash64) so the DuckDB oracle can reproduce it bit-for-bit.
+    The engine-internal hot path uses xxhash64 (crawler_spark.canon);
+    this is the portable corpus-level key.
+    """
+    return F.md5(norm_text(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace tokenization count ('' counts as 1, like split())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+")).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation kept
+    as separate tokens (a BPE-shaped regex, not a trained BPE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, PUNCT_CLASS, "")).cast("long")
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(LANG_STOPWORDS[lang]), F.lit(0))).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic quality heuristic in integer BASIS POINTS (0-10000)
+    from length / stopword / punctuation ratios (the C4-style
+    quality-filter shape):
+
+        5000 * min(n_tokens/128, 1)           (enough content)
+      + 3000 * min(stopwords/tokens * 8, 1)   (natural-language-ness)
+      + 2000 * (1 - min(punct/chars * 20, 1)) (not punctuation soup)
+
+    All arithmetic is exact integer div — bit-identical across engines
+    (double ratios + rounding sit on representation boundaries; ints
+    don't).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = token_count(c)
+    stops = stopword_count(c)
+    punct = punct_count(c)
+    chars = F.greatest(F.length(c).cast("long"), F.lit(1).cast("long"))
+    t1 = (F.lit(5000) * F.least(toks, F.lit(128).cast("long"))).cast("long") / F.lit(128)
+    t1 = F.floor(t1).cast("long")
+    t2 = F.least(
+        F.floor(F.lit(24000) * stops / F.greatest(toks, F.lit(1).cast("long"))).cast("long"),
+        F.lit(3000).cast("long"),
+    )
+    t3 = F.lit(2000).cast("long") - F.least(
+        F.floor(F.lit(40000) * punct / chars).cast("long"), F.lit(2000).cast("long")
+    )
+    return (t1 + t2 + t3).alias("quality_bp")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram heuristic's evidence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return {
+        lang: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))).cast("long")
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax language by stopword score; ties broken by fixed lang order;
+    'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(col)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.lit("und")
+    # build right-to-left so earlier langs win ties
+    for lg in reversed(langs):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the canonical text (array<string>).
+
+    Pure codegen: transform over an index sequence — no Python, no
+    explode until the caller chooses to shuffle.
+    """
+    c = norm_text(col)
+    return F.when(
+        F.length(c) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+                lambda i: F.substring(c, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rolling_fingerprint(col: Column | str, n: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over character
+    n-gram windows of the canonical text (engine-internal key; not
+    DuckDB-reproducible — rows-only check)."""
+    grams = char_shingles(col, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.when(F.size(hashes) > 0, F.array_min(hashes)).otherwise(
+        F.xxhash64(norm_text(col))
+    ).cast("long")

@@ -1,0 +1,155 @@
+"""Two-parallelism scaling evidence (north_rule: throughput scaling
+efficiency ≥0.8 between N and 4N executors).
+
+No real cluster exists in this sandbox, so per BASELINE.md the
+criterion is evidenced by running the IDENTICAL crawl job on the
+IDENTICAL fixture input at local[8] (N) and local[32] (4N), in
+separate subprocesses (fresh JVM each, no warm-cache bleed), and
+reporting throughput at both + efficiency = (T8/T32)/4 … equivalently
+(urls_per_sec_32 / urls_per_sec_8) / 4.
+
+Also asserts the correctness half: the dispatch log and URL-seen set
+are bit-identical across parallelism levels.
+
+Usage:
+    python scripts/scaling_bench.py                 # orchestrates both levels
+    python scripts/scaling_bench.py --worker 8 DIR  # internal: one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "600"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "48"))
+N_IMAGES = int(os.environ.get("SCALING_N_IMAGES", "3000"))
+BASE_BUDGET = 16
+MAX_ROUNDS = 12
+
+
+def run_level(cpus: int, work_dir: str) -> dict:
+    from crawler_spark.engine import CrawlConfig, CrawlEngine
+    from crawler_spark.session import get_spark
+    from crawler_spark.sinks import StateStore
+
+    spark = get_spark(
+        app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    fix = os.path.join(work_dir, "fixtures")
+    if not os.path.isdir(os.path.join(fix, "seeds")):
+        from crawler_spark.fixtures import write_fixtures
+
+        write_fixtures(spark, fix, n_seeds=N_SEEDS, n_hosts=N_HOSTS, n_images=N_IMAGES)
+
+    store = StateStore(spark, os.path.join(work_dir, f"state-{cpus}"))
+    eng = CrawlEngine(
+        spark,
+        store,
+        web_pages=spark.read.parquet(os.path.join(fix, "web_pages")),
+        web_images=spark.read.parquet(os.path.join(fix, "web_images")),
+        robots=spark.read.parquet(os.path.join(fix, "robots")),
+        config=CrawlConfig(base_budget=BASE_BUDGET, max_rounds=MAX_ROUNDS),
+    )
+    seeds = spark.read.parquet(os.path.join(fix, "seeds"))
+
+    t0 = time.perf_counter()
+    history = eng.run(seeds=seeds)
+    wall = time.perf_counter() - t0
+
+    # frontier-expansion timing: re-run the expansion stage in isolation
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators import frontier as FR
+
+    web_pages = spark.read.parquet(os.path.join(fix, "web_pages"))
+    t1 = time.perf_counter()
+    FR.expand_pages(
+        web_pages.filter(F.col("page") == 0).withColumn("seed_id", F.lit(0))
+        .withColumn("domain", F.lit("d"))
+        .withColumn("schema_name", F.lit("s"))
+        .withColumn("schema_version", F.lit("v")),
+        1,
+    ).count()
+    expand_sec = time.perf_counter() - t1
+
+    n_dispatched = sum(h["n_dispatched"] for h in history)
+    out = {
+        "cpus": cpus,
+        "rounds": len(history),
+        "n_dispatched": n_dispatched,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(n_dispatched / wall, 2),
+        "frontier_expand_sec": round(expand_sec, 3),
+        "dispatch_fingerprint": _fingerprint(store),
+    }
+    spark.stop()
+    return out
+
+
+def _fingerprint(store) -> str:
+    """Order-insensitive digest of (dispatch log ∪ seen set)."""
+    import hashlib
+
+    from crawler_spark import schemas as S
+
+    rows = sorted(
+        (r["round"], r["seq"], r["url_hash"])
+        for r in store.read("dispatch_log").select("round", "seq", "url_hash").collect()
+    )
+    seen = sorted(
+        (r["url_hash"], r["first_round"])
+        for r in store.read("url_seen", S.URL_SEEN).collect()
+    )
+    h = hashlib.sha256()
+    h.update(repr(rows).encode())
+    h.update(repr(seen).encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        cpus, work_dir = int(sys.argv[2]), sys.argv[3]
+        print("RESULT " + json.dumps(run_level(cpus, work_dir)))
+        return 0
+
+    work_dir = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling-bench")
+    os.makedirs(work_dir, exist_ok=True)
+    results = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), work_dir],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
+            raise SystemExit(f"worker local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1][len("RESULT ") :])
+
+    r8, r32 = results[8], results[32]
+    eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
+    summary = {
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "order_and_seen_identical": r8["dispatch_fingerprint"] == r32["dispatch_fingerprint"],
+        "n_seeds": N_SEEDS,
+        "n_hosts": N_HOSTS,
+    }
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
