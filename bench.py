@@ -64,7 +64,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_crawl(spark, n_seeds: int = 300, n_hosts: int = 24, n_images: int = 1500) -> dict:
+def bench_crawl(spark, n_seeds: int = 800, n_hosts: int = 64, n_images: int = 1500) -> dict:
     """End-to-end crawl-engine rounds on synthetic fixtures.
 
     Fixture generation is excluded from timing; reported metrics are
@@ -89,7 +89,7 @@ def bench_crawl(spark, n_seeds: int = 300, n_hosts: int = 24, n_images: int = 15
             web_pages,
             web_images,
             robots,
-            CrawlConfig(base_budget=16, max_rounds=12),
+            CrawlConfig(base_budget=16, max_rounds=8),
         )
         t0 = time.perf_counter()
         history = eng.run(seeds=seeds)

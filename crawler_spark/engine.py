@@ -20,8 +20,22 @@ re-runnable batch rounds with exactly-once state commits.
 Determinism guarantee (north_rule "identical crawl ordering"): every
 ordering decision derives from the total key (priority, page, url_hash)
 — never from timestamps, partition order or monotonically_increasing_id
-— so the dispatch log is bit-identical at any parallelism
-(tests/test_scaling_invariance.py runs local[8] vs local[32]).
+— so the dispatch log is bit-identical at any parallelism.
+
+Physical-plan discipline (the part that matters at 10^10 URLs):
+
+- every frame that is both written and counted is persisted FIRST, so
+  no sink write ever recomputes upstream lineage;
+- small state tables (dispatch_log, url_seen, dead, metrics) are
+  written with a file count derived from row counts — no 32-file
+  directories for 100-row rounds, no single-file bottleneck at scale;
+- the web/robots tables are cached once per engine (they are reread
+  2×/round × N rounds otherwise);
+- the URL-seen prefilter is ADAPTIVE: below ``bloom_min_keys`` the
+  plain anti-join wins (tiny build side, broadcast by AQE); above it
+  the partitioned filter state kicks in, maintained INCREMENTALLY
+  (cogroup fold of the round's new keys — never an O(|seen|) rebuild,
+  never a driver collect; operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -50,9 +64,17 @@ class CrawlConfig:
     seed_limit: int | None = None  # reference mode: 1 (G7 single-seed)
     use_bloom: bool = True
     bloom_parts: int = 64
+    bloom_min_keys: int = 500_000  # below this the plain anti-join is cheaper
     num_salts: int = 8
+    cache_web: bool = True
+    verify_rows: bool = True  # per-row decode+phash+PSNR gate (input_hint)
+    image_seed: int = 42
     run_ts: str = "2026-01-01T00:00:00Z"  # P7: one deterministic stamp per run
     extra: dict = field(default_factory=dict)
+
+
+def _n_files(rows: int, rows_per_file: int = 500_000) -> int:
+    return max(1, (rows + rows_per_file - 1) // rows_per_file)
 
 
 class CrawlEngine:
@@ -67,10 +89,17 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.store = store
-        self.web_pages = web_pages
-        self.web_images = web_images
-        self.robots = robots
         self.cfg = config or CrawlConfig()
+        self.web_images = web_images
+        if self.cfg.cache_web:
+            # reread twice per round otherwise; robots is broadcast-joined
+            # every round.  (At true 10^10 scale web_pages caching is a
+            # no-op — .persist() spills/evicts — while the local bench is
+            # dominated by rescans without it.)
+            web_pages = web_pages.persist()
+            robots = robots.persist()
+        self.web_pages = web_pages
+        self.robots = robots
 
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -90,35 +119,57 @@ class CrawlEngine:
         allowed, blocked = R.split_robots(cand, self.robots)
         allowed = FR.dedup_within(allowed).persist()
         n_allowed, n_blocked = allowed.count(), blocked.count()
-        self.store.write_partition("frontier", 0, allowed)
-        self.store.write_partition(
-            "metrics", 0, self._metrics_row(0, n_blocked_robots=n_blocked, message="bootstrap")
-        )
-        self.store.commit(0, {"frontier_rows": n_allowed})
+        self.store.write_partition("frontier", 0, allowed, n_files=_n_files(n_allowed))
+        self._write_metrics(0, n_blocked_robots=n_blocked, message="bootstrap")
+        self.store.commit(0, {"frontier_rows": n_allowed, "seen_count": 0})
         allowed.unpersist()
 
     # ------------------------------------------------------------ one round
     def run_round(self, round_no: int) -> dict:
-        """One batch round.  Action count is kept low deliberately (each
-        Spark job has fixed overhead that dominates at small SF): one agg
-        over the persisted fetch output, one agg over the expansion, and
-        metadata-cheap counts of the parquet partitions just written."""
+        """One batch round.  Every written frame is persisted before its
+        write so sinks never recompute lineage; stats come from the same
+        cached frames (no write-then-reread)."""
+        import os as _os
+        import time as _time
+
+        _prof = bool(_os.environ.get("CRAWL_PROFILE"))
+        _t0 = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            if _prof:
+                now = _time.perf_counter()
+                print(f"    [round {round_no}] {label}: {now - _t0:.2f}s", flush=True)
+                _t0 = now
+
         cfg = self.cfg
         st = self.store
+        prev_stats = (st.committed() or {}).get("stats", {})
+        seen_count_prev = int(prev_stats.get("seen_count", 0))
+        # dispatch ≤ frontier; below ~10^6 rows the single-window
+        # sequencing path skips the ranged path's sample+count jobs
+        small_dispatch = int(prev_stats.get("frontier_rows", 0)) < 1_000_000
         frontier = st.read_frontier(S.FRONTIER)
 
         dispatch, deferred = P.split_by_budget(
             frontier, self.robots, cfg.base_budget, cfg.round_ms
         )
-        dispatch = global_sequence(dispatch, P.ORDER_KEYS).persist()
+        dispatch = global_sequence(dispatch, P.ORDER_KEYS, small=small_dispatch).persist()
 
         fetched = FE.fetch_closed_world(
             P.salt_partition(dispatch, cfg.num_salts), self.web_pages
         ).persist()
         ok, retry, dead = FE.split_fetch_outcomes(fetched)
 
-        # results: extraction over successful pages, image payload joined last
+        # results: extraction over successful pages, image payload joined
+        # last; written once below (no persist — single consumer), row
+        # count derived from the fetch stats (sum of listing sizes)
         results = FE.extract_results(ok, self.web_images, round_no)
+        if cfg.verify_rows:
+            # input_hint per-row gate: decode, PSNR vs reference pixels,
+            # phash recompute — the dominant (and embarrassingly
+            # parallel) compute of a real image crawl
+            results = FE.verify_rows(results, cfg.image_seed)
 
         # expansion: successfully fetched SEED pages (page==0) discover pagination
         expansion = R.tag_robots(
@@ -129,81 +180,137 @@ class CrawlEngine:
         # seen set grows by this round's successful fetches
         seen_prev = st.read("url_seen", S.URL_SEEN).select("url_hash", "first_round")
         new_seen = ok.select("url_hash", F.lit(round_no).alias("first_round"))
+        seen_all = seen_prev.unionByName(new_seen)
 
-        filters = (
-            D.build_seen_filters(seen_prev, cfg.bloom_parts)
-            if cfg.use_bloom and st.committed_round() > 0
-            else None
-        )
-        fresh = D.anti_join_seen(
-            exp_allowed, seen_prev.unionByName(new_seen), filters, cfg.bloom_parts
-        )
+        use_filters = cfg.use_bloom and seen_count_prev >= cfg.bloom_min_keys
+        if use_filters:
+            filters = st.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
+            fresh = D.anti_join_seen_partitioned(
+                exp_allowed, seen_all, filters, cfg.bloom_parts
+            )
+        else:
+            fresh = D.anti_join_seen(exp_allowed, seen_all, None)
         next_frontier = FR.merge_into_frontier(
             deferred.select(*FR.FRONTIER_COLS).unionByName(retry.select(*FR.FRONTIER_COLS)),
             fresh,
+        ).persist()
+
+        # ---- consolidated stats: ONE job over the union of the three
+        # persisted frames (each side reads its cache; a per-frame .agg
+        # would pay three schedulings for the same bytes)
+        zero = F.lit(0).cast("long")
+        stat_cols = ["c1", "c2", "c3", "c4", "c5", "c6"]
+        f_stats = fetched.select(
+            F.lit("f").alias("src"),
+            F.lit(1).cast("long").alias("c1"),
+            F.col("ok").cast("long").alias("c2"),
+            (F.col("found") & ~F.col("ok")).cast("long").alias("c3"),
+            (~F.col("found")).cast("long").alias("c4"),
+            (F.col("found") & ~F.col("ok") & (F.col("attempts") + 1 >= FE.MAX_ATTEMPTS))
+            .cast("long")
+            .alias("c5"),
+            F.when(F.col("ok"), F.size("listing_ids")).otherwise(0).cast("long").alias("c6"),
         )
-
-        # ---- writes (all derive from the two persisted frames)
-        st.write_partition(
-            "dispatch_log",
-            round_no,
-            dispatch.select("seq", "url_hash", "url", "host", "page", "priority"),
+        e_stats = expansion.select(
+            F.lit("e").alias("src"),
+            F.lit(1).cast("long").alias("c1"),
+            F.col("_blocked").cast("long").alias("c2"),
+            zero.alias("c3"), zero.alias("c4"), zero.alias("c5"), zero.alias("c6"),
         )
-        st.write_partition("results", round_no, results)
-        st.write_partition("url_seen", round_no, new_seen)
-        st.write_partition("dead", round_no, dead.select(*FR.FRONTIER_COLS))
-        st.write_partition("frontier", round_no, next_frontier)
+        n_stats = next_frontier.select(
+            F.lit("n").alias("src"),
+            F.lit(1).cast("long").alias("c1"),
+            (F.col("round_added") == round_no).cast("long").alias("c2"),
+            zero.alias("c3"), zero.alias("c4"), zero.alias("c5"), zero.alias("c6"),
+        )
+        _mark("plan_build")
+        stats = {
+            r["src"]: r
+            for r in f_stats.unionByName(e_stats)
+            .unionByName(n_stats)
+            .groupBy("src")
+            .agg(*[F.sum(c).alias(c) for c in stat_cols])
+            .collect()
+        }
+        _mark("stats_job")
 
-        # ---- consolidated stats
-        fs = fetched.agg(
-            F.count("*").alias("n_dispatched"),
-            F.sum(F.col("ok").cast("long")).alias("n_ok"),
-            F.sum((F.col("found") & ~F.col("ok")).cast("long")).alias("n_found_failed"),
-            F.sum((~F.col("found")).cast("long")).alias("n_404"),
-            F.sum(
-                (F.col("found") & ~F.col("ok") & (F.col("attempts") + 1 >= FE.MAX_ATTEMPTS))
-                .cast("long")
-            ).alias("n_exhausted"),
-        ).first()
-        es = expansion.agg(
-            F.count("*").alias("n_candidates"),
-            F.sum(F.col("_blocked").cast("long")).alias("n_blocked"),
-        ).first()
-        n_dispatched = fs["n_dispatched"] or 0
-        n_ok = fs["n_ok"] or 0
-        n_dead = (fs["n_404"] or 0) + (fs["n_exhausted"] or 0)
-        n_retry = (fs["n_found_failed"] or 0) - (fs["n_exhausted"] or 0)
-        n_expanded = (es["n_candidates"] or 0) - (es["n_blocked"] or 0)
+        def stat(src: str, c: str) -> int:
+            return int(stats[src][c]) if src in stats and stats[src][c] is not None else 0
 
-        written_frontier = self.spark.read.parquet(f"{st.root}/frontier/round={round_no}")
-        n_frontier = written_frontier.count()
-        # fresh expansion rows are exactly those stamped with this round
-        n_fresh = written_frontier.filter(F.col("round_added") == round_no).count()
-        n_results = self.spark.read.parquet(f"{st.root}/results/round={round_no}").count()
+        n_dispatched = stat("f", "c1")
+        n_ok = stat("f", "c2")
+        n_dead = stat("f", "c4") + stat("f", "c5")
+        n_retry = stat("f", "c3") - stat("f", "c5")
+        n_results = stat("f", "c6")
+        n_expanded = stat("e", "c1") - stat("e", "c2")
+        n_frontier = stat("n", "c1")
+        n_fresh = stat("n", "c2")
         n_deferred = n_frontier - n_retry - n_fresh
 
-        st.write_partition(
-            "metrics",
-            round_no,
-            self._metrics_row(
-                round_no,
-                n_dispatched=n_dispatched,
-                n_fetched=n_ok,
-                n_failed=n_retry + n_dead,
-                n_dead=n_dead,
-                n_results=n_results,
-                n_expanded=n_expanded,
-                n_deduped=n_expanded - n_fresh,
-                n_blocked_robots=es["n_blocked"] or 0,
-                n_deferred_politeness=n_deferred,
-                message="saga completed",  # reference orchestrator/handler.go:76
-            ),
-        )
-        st.commit(round_no, {"frontier_rows": n_frontier, "dispatched": n_dispatched})
+        # ---- writes: independent jobs over persisted frames → submit
+        # concurrently (Spark's scheduler interleaves them; wall time is
+        # the slowest write, not the sum)
+        from concurrent.futures import ThreadPoolExecutor
 
-        dispatch.unpersist()
-        fetched.unpersist()
-        expansion.unpersist()
+        writes = [
+            (
+                "dispatch_log",
+                dispatch.select("seq", "url_hash", "url", "host", "page", "priority"),
+                _n_files(n_dispatched),
+            ),
+            # results keeps its natural partitioning: coalesce would
+            # propagate up the (uncached) extract+decode lineage and
+            # serialize the round's dominant compute into one task
+            ("results", results, None),
+            ("url_seen", new_seen, _n_files(n_ok)),
+            ("dead", dead.select(*FR.FRONTIER_COLS), _n_files(n_dead)),
+            ("frontier", next_frontier, _n_files(n_frontier)),
+        ]
+        if cfg.use_bloom and (use_filters or seen_count_prev + n_ok >= cfg.bloom_min_keys):
+            # maintain the state from the crossing round on (first update
+            # folds the whole seen set once; after that only new keys)
+            filters_prev = st.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
+            fold_in = new_seen if use_filters else seen_all
+            writes.append(
+                ("seen_filters", D.update_seen_filters(filters_prev, fold_in, cfg.bloom_parts), 1)
+            )
+        if _prof:
+            for table, df, n in writes:
+                st.write_partition(table, round_no, df, n)
+                _mark(f"write_{table}")
+        else:
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                futs = [
+                    pool.submit(st.write_partition, table, round_no, df, n)
+                    for table, df, n in writes
+                ]
+                for f in futs:
+                    f.result()
+
+        self._write_metrics(
+            round_no,
+            n_dispatched=n_dispatched,
+            n_fetched=n_ok,
+            n_failed=n_retry + n_dead,
+            n_dead=n_dead,
+            n_results=n_results,
+            n_expanded=n_expanded,
+            n_deduped=n_expanded - n_fresh,
+            n_blocked_robots=stat("e", "c2"),
+            n_deferred_politeness=n_deferred,
+            message="saga completed",  # reference orchestrator/handler.go:76
+        )
+        st.commit(
+            round_no,
+            {
+                "frontier_rows": n_frontier,
+                "dispatched": n_dispatched,
+                "seen_count": seen_count_prev + n_ok,
+            },
+        )
+
+        for df in (dispatch, fetched, expansion, next_frontier):
+            df.unpersist()
         return {
             "round": round_no,
             "n_dispatched": n_dispatched,
@@ -233,8 +340,12 @@ class CrawlEngine:
         return history
 
     # ------------------------------------------------------------ helpers
-    def _metrics_row(self, round_no: int, **kw) -> DataFrame:
-        defaults = dict(
+    def _write_metrics(self, round_no: int, **kw) -> None:
+        """Per-round metrics/lineage row (reference Result + R3 callback),
+        written driver-side — one row never warrants a Spark job."""
+        from datetime import datetime, timezone
+
+        row = dict(
             status=True,
             domain=None,
             message=None,
@@ -248,21 +359,11 @@ class CrawlEngine:
             n_blocked_robots=0,
             n_deferred_politeness=0,
         )
-        defaults.update(kw)
-        row = [
-            (
-                round_no,
-                bool(defaults["status"]),
-                defaults["domain"],
-                None,  # ingestion_time filled below from run_ts
-                defaults["message"],
-                *[int(defaults[k]) for k in (
-                    "n_dispatched", "n_fetched", "n_failed", "n_dead", "n_results",
-                    "n_expanded", "n_deduped", "n_blocked_robots", "n_deferred_politeness",
-                )],
-            )
-        ]
-        df = self.spark.createDataFrame(row, S.CRAWL_METRICS)
-        return df.withColumn(
-            "ingestion_time", F.to_timestamp(F.lit(self.cfg.run_ts))
-        )
+        row.update(kw)
+        row["ingestion_time"] = datetime.fromisoformat(
+            self.cfg.run_ts.replace("Z", "+00:00")
+        ).astimezone(timezone.utc)
+        for k, v in row.items():
+            if k.startswith("n_"):
+                row[k] = int(v)
+        self.store.write_row_partition("metrics", round_no, row, S.CRAWL_METRICS)

@@ -96,6 +96,9 @@ def gen_web_pages_df(seeds: DataFrame, n_images: int) -> DataFrame:
     pages = with_url_identity(pages)
     j = F.sequence(F.lit(0), F.lit(LISTINGS_PER_PAGE - 1))
     price_arr = F.array(*[F.lit(p) for p in POLISH_PRICES])
+    # pre-mod the hash into 31 bits before arithmetic: xxhash64 spans the
+    # full long range and `h + x*c` overflows under ANSI mode otherwise
+    h31 = F.pmod(F.xxhash64("url"), F.lit(1 << 31))
     fail_r = F.pmod(F.xxhash64("url"), F.lit(100))
     return pages.select(
         "url",
@@ -104,12 +107,12 @@ def gen_web_pages_df(seeds: DataFrame, n_images: int) -> DataFrame:
         "page",
         "last_page",
         F.transform(
-            j, lambda x: F.pmod(F.xxhash64("url") + x * F.lit(2654435761), F.lit(n_images))
+            j, lambda x: F.pmod(h31 + x * F.lit(2654435761), F.lit(n_images))
         ).alias("listing_ids"),
         F.transform(
             j,
             lambda x: F.element_at(
-                price_arr, (F.pmod(F.xxhash64("url") + x, F.lit(len(POLISH_PRICES))) + 1).cast("int")
+                price_arr, (F.pmod(h31 + x, F.lit(len(POLISH_PRICES))) + 1).cast("int")
             ),
         ).alias("listing_prices"),
         F.transform(
@@ -117,7 +120,7 @@ def gen_web_pages_df(seeds: DataFrame, n_images: int) -> DataFrame:
             lambda x: F.format_string(
                 "https://%s/oferta/x-ID%d.html#a%d",
                 "host",
-                F.pmod(F.xxhash64("url") + x * F.lit(2654435761), F.lit(n_images)),
+                F.pmod(h31 + x * F.lit(2654435761), F.lit(n_images)),
                 F.pmod(x, F.lit(16)),
             ),
         ).alias("listing_links"),

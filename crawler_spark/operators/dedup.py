@@ -136,3 +136,136 @@ def anti_join_seen(
     needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
     checked = needs_check.join(seen.select("url_hash"), "url_hash", "left_anti")
     return definitely_new.unionByName(checked)
+
+
+# =====================================================================
+# Incremental distributed filter state (the 10^10-scale path)
+# =====================================================================
+#
+# ``build_seen_filters`` rebuilds from the FULL seen set — O(|seen|)
+# per round, fine for bootstrap/backfill but wrong as a steady-state
+# plan at 10^10 keys.  The functions below maintain the filter state
+# incrementally and keep every blob on executors (never collected to
+# the driver, never broadcast):
+#
+# - state schema (part_id, epoch, filter, n_keys, capacity): one or
+#   more epoch-blobs per hash partition.  New keys OR into the newest
+#   epoch while capacity lasts; overflow appends a fresh epoch blob
+#   sized 2× the incoming batch (geometric growth ⇒ O(log) epochs,
+#   bounded FPP per epoch, no rebuilds ever).
+# - update = cogroup(prev_state, new_keys) by part_id → applyInPandas
+#   (numpy bitsets), embarrassingly parallel across partitions.
+# - membership = cogroup(candidates, state) by part_id →
+#   applyInPandas testing each candidate against the partition's
+#   epoch blobs; "maybe" survivors go through the exact anti-join.
+
+FILTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("filter", T.BinaryType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+        T.StructField("capacity", T.LongType(), False),
+    ]
+)
+
+_MIN_CAPACITY = 4096
+
+
+def _set_bits(blob: bytearray, hashes: np.ndarray) -> None:
+    bits = np.unpackbits(np.frombuffer(bytes(blob), dtype=np.uint8))
+    for pos in _bit_positions(hashes, len(bits)):
+        bits[pos] = 1
+    blob[:] = np.packbits(bits).tobytes()
+
+
+def update_seen_filters(
+    filters_prev: DataFrame,
+    new_seen: DataFrame,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Fold this round's new keys into the filter state (see above).
+
+    ``filters_prev``: FILTER_STATE_SCHEMA rows (empty DataFrame on the
+    first call).  ``new_seen``: DataFrame with a ``url_hash`` column.
+    Returns the complete new state (REWRITE-table semantics).
+    """
+
+    def fold(key, blobs: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        part = int(key[0])
+        rows = blobs.sort_values("epoch").to_dict("records") if len(blobs) else []
+        h = keys["url_hash"].to_numpy(dtype=np.int64) if len(keys) else np.array([], np.int64)
+        if len(h):
+            if rows and rows[-1]["n_keys"] + len(h) <= rows[-1]["capacity"]:
+                cur = rows[-1]
+                blob = bytearray(bytes(cur["filter"]))
+                _set_bits(blob, h)
+                cur["filter"] = bytes(blob)
+                cur["n_keys"] = int(cur["n_keys"]) + len(h)
+            else:
+                cap = max(_MIN_CAPACITY, 2 * len(h))
+                m_bits = 8 * ((cap * _BITS_PER_KEY + 7) // 8)
+                rows.append(
+                    {
+                        "part_id": part,
+                        "epoch": (int(rows[-1]["epoch"]) + 1) if rows else 0,
+                        "filter": _build_filter(h, m_bits),
+                        "n_keys": len(h),
+                        "capacity": cap,
+                    }
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in FILTER_STATE_SCHEMA.fields])
+
+    prev_k = filters_prev.groupBy("part_id")
+    new_k = (
+        new_seen.select("url_hash")
+        .withColumn("part_id", part_id_col("url_hash", n_parts))
+        .groupBy("part_id")
+    )
+    return prev_k.cogroup(new_k).applyInPandas(fold, schema=FILTER_STATE_SCHEMA)
+
+
+def anti_join_seen_partitioned(
+    candidates: DataFrame,
+    seen: DataFrame,
+    filters_state: DataFrame,
+    n_parts: int = 64,
+) -> DataFrame:
+    """candidates \\ seen — exact, prefiltered by the partitioned state.
+
+    Candidates shuffle once on part_id to meet their partition's blobs
+    (cogroup); only "maybe seen" survivors pay the exact anti-join.
+    Logical result identical to the plain anti-join (pinned in tests).
+    """
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("_maybe", T.BooleanType(), False)]
+    )
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def probe(key, cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        if not len(cands):
+            return pd.DataFrame(columns=cand_cols + ["_maybe"])
+        out = cands[cand_cols].copy()
+        if not len(blobs):
+            out["_maybe"] = False
+            return out
+        h = cands["url_hash"].to_numpy(dtype=np.int64)
+        maybe = np.zeros(len(h), dtype=bool)
+        for blob in blobs["filter"]:
+            maybe |= _test_filter(bytes(blob), h)
+        out["_maybe"] = maybe
+        return out
+
+    cand_k = candidates.withColumn("part_id", part_id_col("url_hash", n_parts)).groupBy(
+        "part_id"
+    )
+    flagged = cand_k.cogroup(filters_state.groupBy("part_id")).applyInPandas(
+        probe, schema=out_schema
+    )
+    definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    checked = (
+        flagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(seen.select("url_hash"), "url_hash", "left_anti")
+    )
+    return definitely_new.unionByName(checked)

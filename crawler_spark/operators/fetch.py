@@ -32,6 +32,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .extract import extract_number, take_before
 
@@ -113,6 +114,55 @@ def extract_results(ok_pages: DataFrame, web_images: DataFrame, round_no: int) -
             "link",
         )
     )
+
+
+def verify_rows(results: DataFrame, image_seed: int = 42) -> DataFrame:
+    """Per-row payload invariant gate (BASELINE.json input_hint): decode
+    every fetched image, recompute the perceptual hash against the
+    row's ``phash`` column, and measure decoded-pixel PSNR vs the
+    reference pixels (regenerated from image_id — the closed-world
+    analogue of 'reference extractions').
+
+    Appends ``psnr_db`` / ``phash_ok``; never drops rows — failed
+    invariants are data for the curation layer, not exceptions.
+    mapInPandas (Arrow batches, numpy codec kernels), narrow — bytes
+    never shuffle.
+    """
+    from .. import images as I
+
+    out_schema = T.StructType(
+        list(results.schema.fields)
+        + [
+            T.StructField("psnr_db", T.DoubleType(), True),
+            T.StructField("phash_ok", T.BooleanType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            psnr = [None] * n
+            ok = [None] * n
+            for i in range(n):
+                data = pdf["bytes"].iloc[i]
+                if data is None:
+                    continue
+                try:
+                    dec = I.decode_image(bytes(data), str(pdf["fmt"].iloc[i]))
+                    k = int(str(pdf["image_id"].iloc[i]).rsplit("-", 1)[1])
+                    ref = I.gen_pixels(
+                        image_seed, k, int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
+                    )
+                    psnr[i] = I.psnr(dec, ref)
+                    ok[i] = I.phash64(dec) == int(pdf["phash"].iloc[i])
+                except Exception:
+                    ok[i] = False
+            out = pdf.copy()
+            out["psnr_db"] = pd.Series(psnr, dtype="float64")
+            out["phash_ok"] = pd.Series(ok, dtype="object")
+            yield out
+
+    return results.mapInPandas(run, schema=out_schema)
 
 
 # --------------------------------------------------------------- live-web path

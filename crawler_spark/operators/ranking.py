@@ -34,8 +34,17 @@ def global_sequence(
     keys: list[str],
     seq_col: str = "seq",
     num_partitions: int | None = None,
+    small: bool = False,
 ) -> DataFrame:
+    """``small=True``: the caller knows the frame is driver-window-sized
+    (≲10^6 rows — e.g. from the previous round's committed row count),
+    so a single-partition window is used: same numbering, zero extra
+    jobs (it fuses into the downstream stage) instead of the ranged
+    path's sample + count jobs.  Results are bit-identical."""
     sc = df.sparkSession
+    if small:
+        w = Window.orderBy(*[F.col(k).asc() for k in keys])
+        return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
     if num_partitions is None:
         num_partitions = int(sc.conf.get("spark.sql.shuffle.partitions"))
 

@@ -112,6 +112,9 @@ RESULTS = T.StructType(
         T.StructField("phash", T.LongType(), True),
         T.StructField("price_digits", T.StringType(), True),
         T.StructField("link", T.StringType(), True),
+        # verify_rows gate (engine cfg.verify_rows, input_hint invariant)
+        T.StructField("psnr_db", T.DoubleType(), True),
+        T.StructField("phash_ok", T.BooleanType(), True),
     ]
 )
 

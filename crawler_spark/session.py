@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # iterative driver loops leak dereferenced RDD/broadcast state
+        # until a JVM GC runs; the default periodic GC (30 min) is far
+        # too lazy for a round-per-seconds engine
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

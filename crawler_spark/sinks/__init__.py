@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 APPEND_TABLES = ("results", "url_seen", "metrics", "dispatch_log", "dead")
-REWRITE_TABLES = ("frontier",)
+REWRITE_TABLES = ("frontier", "seen_filters")
 
 
 class StateStore:
@@ -58,13 +58,49 @@ class StateStore:
         c = self.committed()
         return -1 if c is None else int(c["round"])
 
-    def write_partition(self, table: str, round_no: int, df: DataFrame) -> None:
+    def write_partition(
+        self, table: str, round_no: int, df: DataFrame, n_files: int | None = None
+    ) -> None:
         # `round` lives in the Hive path, not the data files (partition
-        # pruning + no duplicate column on basePath reads).
+        # pruning + no duplicate column on basePath reads).  ``n_files``
+        # (estimated from the row count the engine already has) keeps
+        # small state tables to one file instead of one per shuffle
+        # partition — at both bench and cluster scale, directory fan-out
+        # on 100-row tables is pure overhead.
         if "round" in df.columns:
             df = df.drop("round")
+        if n_files is not None:
+            df = df.coalesce(n_files)
         path = os.path.join(self.root, table, f"round={round_no}")
         df.write.mode("overwrite").parquet(path)
+
+    def write_row_partition(self, table: str, round_no: int, row: dict, schema) -> None:
+        """Driver-side single-row partition write (pyarrow, no Spark job).
+
+        For per-round metadata rows (metrics/lineage): a Spark job +
+        commit protocol for ONE row costs seconds; pyarrow writes the
+        same Spark-readable parquet in milliseconds."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, table, f"round={round_no}")
+        os.makedirs(path, exist_ok=True)
+        arrays, names = [], []
+        for f in schema.fields:
+            if f.name == "round":
+                continue
+            v = row.get(f.name)
+            t = f.dataType.simpleString()
+            pa_t = {
+                "int": pa.int32(),
+                "bigint": pa.int64(),
+                "string": pa.string(),
+                "boolean": pa.bool_(),
+                "timestamp": pa.timestamp("us", tz="UTC"),
+            }[t]
+            arrays.append(pa.array([v], type=pa_t))
+            names.append(f.name)
+        pq.write_table(pa.table(arrays, names=names), os.path.join(path, "part-0.parquet"))
 
     def commit(self, round_no: int, stats: dict | None = None) -> None:
         """Atomically publish round ``round_no`` (and everything before it)."""
@@ -88,13 +124,20 @@ class StateStore:
             if d.startswith("round="):
                 r = int(d.split("=", 1)[1])
                 if r <= upto:
-                    out.append(os.path.join(base, d))
-        return sorted(out)
+                    out.append((r, os.path.join(base, d)))
+        # numeric sort: lexicographic would rank round=9 above round=10,
+        # corrupting rewrite-table "latest" reads
+        return [p for _, p in sorted(out)]
 
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Committed view of an append table (all rounds ≤ checkpoint)."""
+    def read(
+        self, table: str, schema: T.StructType | None = None, rewrite: bool = False
+    ) -> DataFrame:
+        """Committed view: all rounds ≤ checkpoint (append tables) or the
+        latest committed round only (``rewrite=True`` snapshot tables)."""
         r = self.committed_round()
         dirs = self._round_dirs(table, r)
+        if rewrite:
+            dirs = dirs[-1:]
         if not dirs:
             assert schema is not None, f"empty table {table} needs an explicit schema"
             return self.spark.createDataFrame([], schema)

@@ -93,6 +93,38 @@ def test_result_rows_match_golden(full_run, golden):
     assert n > 0
 
 
+def test_row_invariants_gate(full_run):
+    """input_hint per-row invariant, checked in-engine (verify_rows):
+    phash equality for every payload; PSNR ≥ 40 dB for lossy, exact
+    (inf) for lossless PNG."""
+    from pyspark.sql import functions as F
+
+    store, _ = full_run
+    res = store.read("results")
+    bad = res.filter(~F.col("phash_ok") | (F.col("psnr_db") < 40.0)).count()
+    assert bad == 0
+    lossless_min = (
+        res.filter(F.col("fmt") == "png").agg(F.min("psnr_db")).first()[0]
+    )
+    assert lossless_min == float("inf")
+
+
+def test_results_write_stays_parallel(full_run):
+    """Regression guard: the results write must keep the upstream
+    extract+decode pipeline parallel — a coalesce(1) here would pull
+    the round's dominant compute into a single task (observed: flat
+    scaling across core counts)."""
+    import glob
+    import os
+
+    store, _ = full_run
+    first_round = sorted(
+        d for d in os.listdir(os.path.join(store.root, "results")) if d.startswith("round=")
+    )[0]
+    parts = glob.glob(os.path.join(store.root, "results", first_round, "part-*"))
+    assert len(parts) >= 2, "results written by a single task"
+
+
 def test_metrics_lineage(full_run):
     store, _ = full_run
     m = store.read("metrics").orderBy("round").collect()
@@ -118,6 +150,24 @@ def test_single_seed_reference_mode(spark, fixture_paths, tmp_path):
     log, seen = _spark_outputs(store)
     assert log == sorted(g.dispatch_log)
     assert seen == g.seen
+
+
+def test_bloom_filter_path_equivalence(spark, fixture_paths, tmp_path, full_run, golden):
+    """Engine with the incremental partitioned-filter prefilter engaged
+    from round 1 (bloom_min_keys=1) produces the identical dispatch log
+    and URL-seen set — the prefilter may never change semantics."""
+    full_store, _ = full_run
+    cfg = CrawlConfig(
+        base_budget=BUDGET, max_rounds=MAX_ROUNDS, bloom_min_keys=1, bloom_parts=8
+    )
+    store, engine = _make_engine(spark, fixture_paths, str(tmp_path / "bloom"), cfg)
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert _spark_outputs(store) == _spark_outputs(full_store)
+    # the filter state is actually maintained
+    import crawler_spark.operators.dedup as D
+    st = store.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
+    assert st.count() > 0
+    assert sum(r["n_keys"] for r in st.collect()) == len(golden.seen)
 
 
 def test_checkpoint_resume_equivalence(spark, fixture_paths, tmp_path, full_run):

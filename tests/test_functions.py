@@ -1,0 +1,155 @@
+"""Unit tests for the training-data pipeline ops (functions/): near-dup
+detection recall, simhash hamming, ANN recall, multimodal plumbing.
+The oracle-equivalence side is covered by tests/test_contract.py;
+these pin behavioral properties the SQL oracles can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import multimodal as MM
+from crawler_spark.functions import neardup as ND
+from crawler_spark.functions import similarity as SIM
+from crawler_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the crowd cheers for more of the same old song and dance routine"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("crowd", "audience")),  # near dup of 0
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, base.upper() + "   "),  # case/whitespace dup of 0
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_canonicalizes(docs):
+    groups = {r["keeper"]: r["n_dups"] for r in ND.exact_dup_groups(docs).collect()}
+    # 0,1,4 collapse (case/whitespace-insensitive); 2, 3, 5 stand alone
+    assert groups[0] == 3
+    assert groups[2] == 1 and groups[3] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ND.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recall_on_near_dups(docs):
+    got = {(r["a"], r["b"]) for r in ND.minhash_neardup_pairs(docs, threshold=0.5).collect()}
+    # near-identical pairs survive banding with near-certainty and are
+    # exact-verified; the unrelated doc never appears
+    assert (0, 1) in got and (0, 4) in got and (0, 2) in got
+    assert all(3 not in p and 5 not in p for p in got)
+
+
+def test_simhash_hamming(docs, spark):
+    sigs = ND.simhash64(docs)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in ND.simhash_neardup_pairs(sigs, max_hamming=63).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical signature
+    m = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert bin((m[0] ^ m[2]) & (2**64 - 1)).count("1") < bin(
+        (m[0] ^ m[3]) & (2**64 - 1)
+    ).count("1"), "near-dup should be closer in hamming space than unrelated text"
+
+
+def test_lang_and_quality(docs):
+    out = {
+        r["doc_id"]: (r["lang"], r["q"])
+        for r in docs.select(
+            "doc_id",
+            TX.predicted_lang("text").alias("lang"),
+            TX.quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert out[0][0] == "en"
+    assert out[5][0] == "und"
+    assert out[0][1] > out[5][1]  # real text scores above empty
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(40):
+        if i < 5:  # tight cluster around base
+            v = base + 0.05 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_topk_bruteforce_finds_cluster(vectors):
+    top = [r["vec_id"] for r in SIM.topk_bruteforce(vectors, query_vec_id=0, k=4).collect()]
+    assert set(top) >= {1, 2, 3, 4}
+
+
+def test_lsh_topk_subset_of_bruteforce_space(vectors):
+    exact = [r["vec_id"] for r in SIM.topk_bruteforce(vectors, query_vec_id=0, k=4).collect()]
+    approx = [
+        r["vec_id"]
+        for r in SIM.topk_lsh(vectors, query_vec_id=0, dim=16, k=4, n_planes=8).collect()
+    ]
+    # multiprobe LSH on a tight cluster recovers most of the exact set
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_image_decode_roundtrip(spark):
+    df = spark.range(12).select(F.col("id").alias("doc_id"))
+    imgs = MM.attach_synthetic_images(df, "doc_id")
+    meta = MM.decode_meta(imgs).collect()
+    assert len(meta) == 12
+    assert all(r["decode_ok"] for r in meta)
+    assert all(r["dec_w"] == 32 and r["dec_h"] == 32 for r in meta)
+
+
+def test_image_decode_flags_corrupt_payload(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"image_id": ["bad-1"], "bytes": [b"\x00garbage-not-an-image"], "fmt": ["png"]}
+    )
+    df = spark.createDataFrame(pdf)
+    meta = MM.decode_meta(df).collect()
+    assert len(meta) == 1 and meta[0]["decode_ok"] is False
+
+
+def test_resize_and_embedding_shapes(spark):
+    df = spark.range(6).select(F.col("id").alias("doc_id"))
+    imgs = MM.attach_synthetic_images(df, "doc_id")
+    rs = MM.resize(imgs, 16, 16).collect()
+    assert all(r["w"] == 16 and r["h"] == 16 for r in rs)
+    emb = MM.image_embedding(imgs, dim=64).collect()
+    assert all(len(r["embedding"]) == 64 for r in emb)
+    # deterministic: same id → same vector
+    emb2 = MM.image_embedding(imgs, dim=64).collect()
+    assert {r["image_id"]: r["embedding"] for r in emb} == {
+        r["image_id"]: r["embedding"] for r in emb2
+    }
+
+
+def test_frame_sample_stub(spark):
+    import pandas as pd
+
+    payload = bytes(range(256)) * 12  # 3072 bytes = 4 fake frames of 768
+    pdf = pd.DataFrame({"image_id": ["v-1"], "bytes": [payload]})
+    frames = MM.frame_sample(spark.createDataFrame(pdf), every_n=2).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 2]

@@ -103,6 +103,46 @@ def test_bloom_anti_join_equivalence(spark):
     assert a == b == list(range(1, 5000, 2))
 
 
+# ---- incremental partitioned filter state ≡ exact anti-join
+def test_incremental_filter_state_equivalence(spark):
+    state = spark.createDataFrame([], D.FILTER_STATE_SCHEMA)
+    seen_batches = [
+        spark.range(0, 3000, 3).select(F.col("id").alias("url_hash")),
+        spark.range(1, 3000, 3).select(F.col("id").alias("url_hash")),
+    ]
+    seen_all = seen_batches[0].unionByName(seen_batches[1])
+    for b in seen_batches:
+        state = D.update_seen_filters(state, b, n_parts=8)
+    state = state.persist()
+    # epochs grew without rebuild; every partition has state
+    assert state.count() >= 8
+    cands = spark.range(0, 3000).select(
+        F.col("id").alias("url_hash"), (F.col("id") * 7).alias("payload")
+    )
+    got = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen_partitioned(cands, seen_all, state, n_parts=8).collect()
+    )
+    assert got == list(range(2, 3000, 3))
+    state.unpersist()
+
+
+# ---- filter capacity overflow appends epochs (no rebuild, no loss)
+def test_filter_state_epoch_growth(spark):
+    state = spark.createDataFrame([], D.FILTER_STATE_SCHEMA)
+    for lo in range(0, 30000, 10000):
+        batch = spark.range(lo, lo + 10000).select(F.col("id").alias("url_hash"))
+        state = D.update_seen_filters(state, batch, n_parts=2).persist()
+        state.count()
+    rows = state.collect()
+    assert {r["part_id"] for r in rows} == {0, 1}
+    assert sum(r["n_keys"] for r in rows) == 30000
+    seen = spark.range(0, 30000).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 40000).select(F.col("id").alias("url_hash"))
+    got = D.anti_join_seen_partitioned(cands, seen, state, n_parts=2).count()
+    assert got == 10000
+
+
 # ---- deterministic global sequence, partition-invariant
 def test_global_sequence_partition_invariant(spark):
     import random
