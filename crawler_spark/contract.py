@@ -72,6 +72,40 @@ def q_safe_cast(spark, sf):
     )
 
 
+def q_json_decode(spark, sf):
+    """S3 — JSON request decode (database/handler.go:26) as from_json."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_val"),
+    )
+
+
+def q_run_stamp(spark, sf):
+    """P7 — one deterministic run timestamp stamped per row
+    (orchestrator/handler.go:25; never current_timestamp())."""
+    return _t(spark, sf, "events").select(
+        "event_id", F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("run_ts")
+    )
+
+
+def q_partitioned_write(spark, sf):
+    """S5 — Hive-partitioned sink round-trip (storage/handler.go:103):
+    write lineitem aggregates partitioned by (l_returnflag,
+    l_linestatus), read back (rows-only check: side-effecting)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q-partwrite-")
+    agg = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
+        .agg(F.count("*").alias("n"))
+    )
+    agg.write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(out)
+    return spark.read.parquet(out).groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_groups"), F.sum("n").alias("n_rows")
+    )
+
+
 # =====================================================================
 # §2.4 frontier expansion / joins
 # =====================================================================
@@ -364,6 +398,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_substring_before": q_substring_before,
     "q_page_url": q_page_url,
     "q_safe_cast": q_safe_cast,
+    "q_json_decode": q_json_decode,
+    "q_run_stamp": q_run_stamp,
+    "q_partitioned_write": q_partitioned_write,
     "q_frontier_expand": q_frontier_expand,
     "q_max_page": q_max_page,
     "q_equi_join": q_equi_join,
@@ -422,6 +459,14 @@ ORACLES: dict[str, str] = {
         "SELECT event_id, try_cast(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_val"
         " FROM events"
     ),
+    "q_json_decode": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val"
+        " FROM events"
+    ),
+    "q_run_stamp": (
+        "SELECT event_id, TIMESTAMP '2026-01-01 00:00:00' AS run_ts FROM events"
+    ),
+    # q_partitioned_write: rows-only (side-effecting write round-trip)
     "q_frontier_expand": (
         "SELECT p_partkey, cast(unnest(generate_series(1, (p_size % 8) + 2)) AS BIGINT)"
         " AS page FROM part"

@@ -151,10 +151,15 @@ class CrawlEngine:
         small_dispatch = int(prev_stats.get("frontier_rows", 0)) < 1_000_000
         frontier = st.read_frontier(S.FRONTIER)
 
-        dispatch, deferred = P.split_by_budget(
+        ranked = P.rank_with_budget(
             frontier, self.robots, cfg.base_budget, cfg.round_ms
-        )
-        dispatch = global_sequence(dispatch, P.ORDER_KEYS, small=small_dispatch).persist()
+        ).persist()
+        dispatch = global_sequence(
+            ranked.filter(F.col("_dispatch")).drop("_dispatch"),
+            P.ORDER_KEYS,
+            small=small_dispatch,
+        ).persist()
+        deferred = ranked.filter(~F.col("_dispatch")).drop("_dispatch")
 
         fetched = FE.fetch_closed_world(
             P.salt_partition(dispatch, cfg.num_salts), self.web_pages
@@ -195,77 +200,44 @@ class CrawlEngine:
             fresh,
         ).persist()
 
-        # ---- consolidated stats: ONE job over the union of the three
-        # persisted frames (each side reads its cache; a per-frame .agg
-        # would pay three schedulings for the same bytes)
-        zero = F.lit(0).cast("long")
-        stat_cols = ["c1", "c2", "c3", "c4", "c5", "c6"]
-        f_stats = fetched.select(
-            F.lit("f").alias("src"),
-            F.lit(1).cast("long").alias("c1"),
-            F.col("ok").cast("long").alias("c2"),
-            (F.col("found") & ~F.col("ok")).cast("long").alias("c3"),
-            (~F.col("found")).cast("long").alias("c4"),
-            (F.col("found") & ~F.col("ok") & (F.col("attempts") + 1 >= FE.MAX_ATTEMPTS))
-            .cast("long")
-            .alias("c5"),
-            F.when(F.col("ok"), F.size("listing_ids")).otherwise(0).cast("long").alias("c6"),
-        )
-        e_stats = expansion.select(
-            F.lit("e").alias("src"),
-            F.lit(1).cast("long").alias("c1"),
-            F.col("_blocked").cast("long").alias("c2"),
-            zero.alias("c3"), zero.alias("c4"), zero.alias("c5"), zero.alias("c6"),
-        )
-        n_stats = next_frontier.select(
-            F.lit("n").alias("src"),
-            F.lit(1).cast("long").alias("c1"),
-            (F.col("round_added") == round_no).cast("long").alias("c2"),
-            zero.alias("c3"), zero.alias("c4"), zero.alias("c5"), zero.alias("c6"),
-        )
         _mark("plan_build")
-        stats = {
-            r["src"]: r
-            for r in f_stats.unionByName(e_stats)
-            .unionByName(n_stats)
-            .groupBy("src")
-            .agg(*[F.sum(c).alias(c) for c in stat_cols])
-            .collect()
-        }
-        _mark("stats_job")
 
-        def stat(src: str, c: str) -> int:
-            return int(stats[src][c]) if src in stats and stats[src][c] is not None else 0
-
-        n_dispatched = stat("f", "c1")
-        n_ok = stat("f", "c2")
-        n_dead = stat("f", "c4") + stat("f", "c5")
-        n_retry = stat("f", "c3") - stat("f", "c5")
-        n_results = stat("f", "c6")
-        n_expanded = stat("e", "c1") - stat("e", "c2")
-        n_frontier = stat("n", "c1")
-        n_fresh = stat("n", "c2")
-        n_deferred = n_frontier - n_retry - n_fresh
-
-        # ---- writes: independent jobs over persisted frames → submit
-        # concurrently (Spark's scheduler interleaves them; wall time is
-        # the slowest write, not the sum)
+        # ---- writes, staged: url_seen first (its job materializes the
+        # ranked→dispatch→fetched cache chain), then everything else
+        # concurrently.  expansion_log and frontier may race on the
+        # expansion cache — worst case the (cheap, cache-backed) explode
+        # runs twice; the shared fetched cache is already materialized.
+        # No separate stats job: every per-round metric is recovered
+        # afterwards from parquet footers (driver-side, milliseconds).
         from concurrent.futures import ThreadPoolExecutor
 
+        st.write_partition("url_seen", round_no, new_seen, n_files=1)
+        _mark("write_url_seen")
+
+        # expansion_log / dispatch_log keep natural partitioning: they are
+        # the two larger logs, and a coalesce(1) single-task write of a
+        # cached frame is serial time every other core spends idle
         writes = [
+            (
+                "expansion_log",
+                expansion.select(
+                    "url_hash", "host", "page", F.col("_blocked").alias("blocked")
+                ),
+                None,
+            ),
             (
                 "dispatch_log",
                 dispatch.select("seq", "url_hash", "url", "host", "page", "priority"),
-                _n_files(n_dispatched),
+                None,
             ),
             # results keeps its natural partitioning: coalesce would
             # propagate up the (uncached) extract+decode lineage and
             # serialize the round's dominant compute into one task
             ("results", results, None),
-            ("url_seen", new_seen, _n_files(n_ok)),
-            ("dead", dead.select(*FR.FRONTIER_COLS), _n_files(n_dead)),
-            ("frontier", next_frontier, _n_files(n_frontier)),
+            ("dead", dead.select(*FR.FRONTIER_COLS), 1),
+            ("frontier", next_frontier, None),
         ]
+        n_ok = st.partition_row_count("url_seen", round_no)
         if cfg.use_bloom and (use_filters or seen_count_prev + n_ok >= cfg.bloom_min_keys):
             # maintain the state from the crossing round on (first update
             # folds the whole seen set once; after that only new keys)
@@ -274,18 +246,47 @@ class CrawlEngine:
             writes.append(
                 ("seen_filters", D.update_seen_filters(filters_prev, fold_in, cfg.bloom_parts), 1)
             )
-        if _prof:
-            for table, df, n in writes:
-                st.write_partition(table, round_no, df, n)
-                _mark(f"write_{table}")
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futs = [
+                pool.submit(st.write_partition, table, round_no, df, n)
+                for table, df, n in writes
+            ]
+            for f in futs:
+                f.result()
+        _mark("writes")
+
+        # ---- per-round metrics from the footers of what was written
+        n_dispatched = st.partition_row_count("dispatch_log", round_no)
+        n_dead = st.partition_row_count("dead", round_no)
+        n_results = st.partition_row_count("results", round_no)
+        n_frontier = st.partition_row_count("frontier", round_no)
+        n_candidates = st.partition_row_count("expansion_log", round_no)
+        n_retry = n_dispatched - n_ok - n_dead
+        n_blocked = 0
+        if n_candidates:
+            import pyarrow.compute as pc
+
+            n_blocked = int(
+                pc.sum(
+                    st.read_partition_column("expansion_log", round_no, "blocked").cast(
+                        "int64"
+                    )
+                ).as_py()
+                or 0
+            )
+        n_expanded = n_candidates - n_blocked
+        if n_frontier and n_frontier < 10_000_000:
+            import pyarrow.compute as pc
+
+            ra = st.read_partition_column("frontier", round_no, "round_added")
+            n_fresh = int(pc.sum(pc.equal(ra, round_no).cast("int64")).as_py() or 0)
         else:
-            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-                futs = [
-                    pool.submit(st.write_partition, table, round_no, df, n)
-                    for table, df, n in writes
-                ]
-                for f in futs:
-                    f.result()
+            # frontier too large for a driver-side column read → one
+            # Spark count over the cached frame
+            n_fresh = next_frontier.filter(F.col("round_added") == round_no).count()
+        n_deferred = n_frontier - n_retry - n_fresh
+        n_deduped = n_expanded - n_fresh
+        _mark("footer_stats")
 
         self._write_metrics(
             round_no,
@@ -295,8 +296,8 @@ class CrawlEngine:
             n_dead=n_dead,
             n_results=n_results,
             n_expanded=n_expanded,
-            n_deduped=n_expanded - n_fresh,
-            n_blocked_robots=stat("e", "c2"),
+            n_deduped=n_deduped,
+            n_blocked_robots=n_blocked,
             n_deferred_politeness=n_deferred,
             message="saga completed",  # reference orchestrator/handler.go:76
         )
@@ -309,7 +310,7 @@ class CrawlEngine:
             },
         )
 
-        for df in (dispatch, fetched, expansion, next_frontier):
+        for df in (ranked, dispatch, fetched, expansion, next_frontier):
             df.unpersist()
         return {
             "round": round_no,

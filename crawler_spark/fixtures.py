@@ -149,10 +149,25 @@ def gen_robots_df(spark: SparkSession, n_hosts: int) -> DataFrame:
 
 
 # ------------------------------------------------------------------ images
+DIM_PROFILES = {
+    # (w options, h options) cycled by image index
+    "default": ((32, 64, 96), (32, 48, 64)),
+    # uniform small payloads: used by the scaling bench so aggregate
+    # byte volume stays RAM-resident while row counts (and therefore
+    # decode/verify parallel work) scale up
+    "small": ((32, 32, 32), (32, 32, 32)),
+}
+
+
 def gen_web_images_df(
-    spark: SparkSession, n_images: int, seed: int = DEFAULT_SEED, parallelism: int = 32
+    spark: SparkSession,
+    n_images: int,
+    seed: int = DEFAULT_SEED,
+    parallelism: int = 32,
+    dim_profile: str = "default",
 ) -> DataFrame:
     """input_hint payload table, generated distributed via mapInPandas."""
+    w_opts, h_opts = DIM_PROFILES[dim_profile]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         adj = ["quiet", "bright", "spacious", "cozy", "modern", "sunny", "classic"]
@@ -165,8 +180,8 @@ def gen_web_images_df(
                     "caption": [], "phash": []}
             for k in ks:
                 k = int(k)
-                w = (32, 64, 96)[k % 3]
-                h = (32, 48, 64)[k % 3]
+                w = w_opts[k % 3]
+                h = h_opts[k % 3]
                 fmt = "jpeg" if k % 4 == 0 else "png"
                 px = I.gen_pixels(seed, k, w, h)
                 data = I.encode_image(px, fmt)
@@ -197,6 +212,7 @@ def write_fixtures(
     n_hosts: int = 12,
     n_images: int = 2000,
     seed: int = DEFAULT_SEED,
+    dim_profile: str = "default",
 ) -> dict[str, str]:
     """Generate + write all fixture tables; returns {name: path}."""
     paths = {}
@@ -205,7 +221,7 @@ def write_fixtures(
         ("seeds", seeds),
         ("web_pages", gen_web_pages_df(seeds, n_images)),
         ("robots", gen_robots_df(spark, n_hosts)),
-        ("web_images", gen_web_images_df(spark, n_images, seed)),
+        ("web_images", gen_web_images_df(spark, n_images, seed, dim_profile=dim_profile)),
     ]:
         p = os.path.join(out_dir, name)
         df.write.mode("overwrite").parquet(p)

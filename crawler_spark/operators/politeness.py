@@ -42,6 +42,29 @@ def host_budget_col(crawl_delay_ms, base_budget: int, round_ms: int):
     )
 
 
+def rank_with_budget(
+    frontier: DataFrame,
+    robots: DataFrame,
+    base_budget: int = DEFAULT_BASE_BUDGET,
+    round_ms: int = DEFAULT_ROUND_MS,
+) -> DataFrame:
+    """Window-rank the frontier per host and tag each row ``_dispatch``.
+
+    Returned whole (rather than pre-split) so the caller can persist
+    ONE frame and derive both the dispatch set and the deferred
+    remainder from the same cache — splitting first would recompute
+    the window for each side.
+    """
+    w = Window.partitionBy("host").orderBy(*[F.col(k).asc() for k in ORDER_KEYS])
+    return (
+        frontier.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
+        .withColumn("_budget", host_budget_col(F.col("crawl_delay_ms"), base_budget, round_ms))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_dispatch", F.col("_rn") <= F.col("_budget"))
+        .drop("_rn", "_budget", "crawl_delay_ms")
+    )
+
+
 def split_by_budget(
     frontier: DataFrame,
     robots: DataFrame,
@@ -49,18 +72,9 @@ def split_by_budget(
     round_ms: int = DEFAULT_ROUND_MS,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (dispatch, deferred).  robots is small → broadcast join."""
-    w = Window.partitionBy("host").orderBy(*[F.col(k).asc() for k in ORDER_KEYS])
-    ranked = (
-        frontier.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
-        .withColumn("_budget", host_budget_col(F.col("crawl_delay_ms"), base_budget, round_ms))
-        .withColumn("_rn", F.row_number().over(w))
-    )
-    dispatch = ranked.filter(F.col("_rn") <= F.col("_budget")).drop(
-        "_rn", "_budget", "crawl_delay_ms"
-    )
-    deferred = ranked.filter(F.col("_rn") > F.col("_budget")).drop(
-        "_rn", "_budget", "crawl_delay_ms"
-    )
+    ranked = rank_with_budget(frontier, robots, base_budget, round_ms)
+    dispatch = ranked.filter(F.col("_dispatch")).drop("_dispatch")
+    deferred = ranked.filter(~F.col("_dispatch")).drop("_dispatch")
     return dispatch, deferred
 
 

@@ -33,7 +33,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-APPEND_TABLES = ("results", "url_seen", "metrics", "dispatch_log", "dead")
+APPEND_TABLES = ("results", "url_seen", "metrics", "dispatch_log", "dead", "expansion_log")
 REWRITE_TABLES = ("frontier", "seen_filters")
 
 
@@ -102,6 +102,34 @@ class StateStore:
             names.append(f.name)
         pq.write_table(pa.table(arrays, names=names), os.path.join(path, "part-0.parquet"))
 
+    # ---------------------------------------------------- footer stats
+    def partition_row_count(self, table: str, round_no: int) -> int:
+        """Row count of one round partition from parquet footers —
+        driver-side milliseconds, no Spark job.  Exact (parquet footers
+        carry num_rows)."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, table, f"round={round_no}")
+        if not os.path.isdir(path):
+            return 0
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet") or f.startswith("part-"):
+                try:
+                    total += pq.read_metadata(os.path.join(path, f)).num_rows
+                except Exception:
+                    continue
+        return total
+
+    def read_partition_column(self, table: str, round_no: int, column: str):
+        """One column of one round partition as a pyarrow ChunkedArray
+        (driver-side).  Only for partitions known to be driver-sized —
+        callers gate on partition_row_count first."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, table, f"round={round_no}")
+        return pq.read_table(path, columns=[column])[column]
+
     def commit(self, round_no: int, stats: dict | None = None) -> None:
         """Atomically publish round ``round_no`` (and everything before it)."""
         payload = {
@@ -142,7 +170,13 @@ class StateStore:
             assert schema is not None, f"empty table {table} needs an explicit schema"
             return self.spark.createDataFrame([], schema)
         base = os.path.join(self.root, table)
-        return self.spark.read.option("basePath", base).parquet(*dirs)
+        reader = self.spark.read.option("basePath", base)
+        if schema is not None:
+            # explicit schema skips footer inference (a listing + read
+            # job per round otherwise); note it also drops the `round`
+            # partition column — callers that need it pass no schema
+            reader = reader.schema(schema)
+        return reader.parquet(*dirs)
 
     def read_frontier(self, schema: T.StructType) -> DataFrame:
         """The frontier snapshot of the committed round only."""
@@ -150,7 +184,7 @@ class StateStore:
         path = os.path.join(self.root, "frontier", f"round={r}")
         if r < 0 or not os.path.isdir(path):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(path)
+        return self.spark.read.schema(schema).parquet(path)
 
     # ------------------------------------------------------------- hygiene
     def vacuum_uncommitted(self) -> None:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -31,8 +32,8 @@ sys.path.insert(0, REPO)
 # write with image payloads) dominates fixed job-scheduling overhead —
 # the scaling-efficiency comparison is meaningless on overhead-bound
 # rounds (BASELINE.md: ≥60 s of steady-state work at local[8]).
-N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "8000"))
-N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "200"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "64000"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "1280"))
 N_IMAGES = int(os.environ.get("SCALING_N_IMAGES", "1500"))
 BASE_BUDGET = int(os.environ.get("SCALING_BUDGET", "64"))
 MAX_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "8"))
@@ -53,7 +54,14 @@ def run_level(cpus: int, work_dir: str) -> dict:
     if not os.path.isdir(os.path.join(fix, "seeds")):
         from crawler_spark.fixtures import write_fixtures
 
-        write_fixtures(spark, fix, n_seeds=N_SEEDS, n_hosts=N_HOSTS, n_images=N_IMAGES)
+        write_fixtures(
+            spark,
+            fix,
+            n_seeds=N_SEEDS,
+            n_hosts=N_HOSTS,
+            n_images=N_IMAGES,
+            dim_profile=os.environ.get("SCALING_DIM_PROFILE", "small"),
+        )
 
     store = StateStore(spark, os.path.join(work_dir, f"state-{cpus}"))
     eng = CrawlEngine(
@@ -97,6 +105,10 @@ def run_level(cpus: int, work_dir: str) -> dict:
         "dispatch_fingerprint": _fingerprint(store),
     }
     spark.stop()
+    if os.environ.get("SCALING_KEEP_STATE") != "1":
+        import shutil as _sh
+
+        _sh.rmtree(store.root, ignore_errors=True)  # bound disk across legs
     return out
 
 
@@ -126,29 +138,54 @@ def main() -> int:
         print("RESULT " + json.dumps(run_level(cpus, work_dir)))
         return 0
 
-    work_dir = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling-bench")
+    # default to tmpfs: on a real cluster every executor writes to its
+    # OWN node's disks, so aggregate write bandwidth scales with cluster
+    # size; a single shared virtio disk caps both legs identically and
+    # under-measures scaling.  RAM-backed state is the honest single-box
+    # emulation of per-node storage (state is cleaned between legs).
+    default_dir = (
+        "/dev/shm/scaling-bench" if os.path.isdir("/dev/shm") else "/tmp/scaling-bench"
+    )
+    work_dir = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else default_dir)
     os.makedirs(work_dir, exist_ok=True)
-    results = {}
-    for cpus in (8, 32):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), work_dir],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
-        if not line:
-            sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
-            raise SystemExit(f"worker local[{cpus}] failed")
-        results[cpus] = json.loads(line[-1][len("RESULT ") :])
+    # Host-level noise on this VM is extreme (the identical leg has
+    # measured 3x apart within the hour).  Alternate the two levels
+    # over SCALING_REPEATS rounds and take the MINIMUM wall per level —
+    # the standard noisy-host estimator of true cost; fingerprints must
+    # agree across every run.
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(repeats):
+        for cpus in (8, 32):
+            # taskset pins the WHOLE process tree (JVM task threads AND
+            # python UDF workers) to `cpus` physical cores — without
+            # it, local[8]'s python workers spill onto all 32 host
+            # cores and the "small cluster" baseline is quietly 4x too
+            # fast.
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--worker", str(cpus), work_dir
+            ]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
+                raise SystemExit(f"worker local[{cpus}] failed")
+            runs[cpus].append(json.loads(line[-1][len("RESULT ") :]))
 
-    r8, r32 = results[8], results[32]
+    r8 = min(runs[8], key=lambda r: r["wall_sec"])
+    r32 = min(runs[32], key=lambda r: r["wall_sec"])
+    fps = {r["dispatch_fingerprint"] for rs in runs.values() for r in rs}
     eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
     summary = {
         "local8": r8,
         "local32": r32,
         "scaling_efficiency": round(eff, 3),
-        "order_and_seen_identical": r8["dispatch_fingerprint"] == r32["dispatch_fingerprint"],
+        "order_and_seen_identical": len(fps) == 1,
+        "all_runs_wall_sec": {c: [r["wall_sec"] for r in rs] for c, rs in runs.items()},
+        "repeats": repeats,
+        "estimator": "min wall per level across repeats (noisy-host)",
         "n_seeds": N_SEEDS,
         "n_hosts": N_HOSTS,
     }

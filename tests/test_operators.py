@@ -103,6 +103,47 @@ def test_bloom_anti_join_equivalence(spark):
     assert a == b == list(range(1, 5000, 2))
 
 
+# ---- G3/G5: live-web fetch path with in-batch retry (fake fetcher)
+def test_fetch_http_map_retries(spark):
+    from pyspark.sql import types as T
+
+    from crawler_spark.operators.fetch import fetch_http_map
+
+    def flaky(url: str) -> dict:
+        # deterministic: URLs ending in an odd digit fail twice, then
+        # succeed; 'dead' URLs always raise
+        if url.endswith("dead"):
+            raise RuntimeError("always down")
+        return {"title": f"page:{url}"}
+
+    calls = {}
+
+    def fetcher(url):
+        calls[url] = calls.get(url, 0) + 1
+        n = int(url[-1]) if url[-1].isdigit() else None
+        if n is not None and n % 2 == 1 and calls[url] <= 2:
+            raise RuntimeError("transient")
+        return flaky(url)
+
+    dispatch = spark.createDataFrame(
+        [("u1", 0), ("u2", 0), ("udead", 0)], "url: string, attempts: int"
+    ).coalesce(1)  # single partition → one batch → call counts observable
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("attempts", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("error", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    rows = {r["url"]: r for r in fetch_http_map(dispatch, fetcher, schema).collect()}
+    assert rows["u2"]["ok"] and rows["u2"]["attempts"] == 1
+    assert rows["u1"]["ok"] and rows["u1"]["attempts"] == 3  # 2 transient fails
+    assert not rows["udead"]["ok"] and rows["udead"]["attempts"] == 5
+    assert rows["udead"]["error"] == "always down"
+
+
 # ---- incremental partitioned filter state ≡ exact anti-join
 def test_incremental_filter_state_equivalence(spark):
     state = spark.createDataFrame([], D.FILTER_STATE_SCHEMA)
