@@ -189,9 +189,13 @@ class CrawlEngine:
 
         use_filters = cfg.use_bloom and seen_count_prev >= cfg.bloom_min_keys
         if use_filters:
+            # Blobs cover seen_prev only; this round's new_seen is checked
+            # by a separate exact delta anti-join (see dedup.py docstring —
+            # probing seen_all against stale blobs double-fetches same-round
+            # collisions).
             filters = st.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
-            fresh = D.anti_join_seen_partitioned(
-                exp_allowed, seen_all, filters, cfg.bloom_parts
+            fresh = D.anti_join_seen_with_delta(
+                exp_allowed, seen_prev, new_seen, filters, cfg.bloom_parts
             )
         else:
             fresh = D.anti_join_seen(exp_allowed, seen_all, None)

@@ -228,6 +228,13 @@ def minhash_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # Materialize the (tiny) verified pair set so the shingle cache can be
+    # released immediately — long-lived sessions call this repeatedly and
+    # would otherwise accumulate cached shingle blocks until the periodic
+    # context-cleaner GC gets around to them.
+    verified = verified.persist()
+    verified.count()
+    sh.unpersist()
     return verified
 
 

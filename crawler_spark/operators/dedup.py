@@ -247,7 +247,12 @@ def anti_join_seen_partitioned(
             return pd.DataFrame(columns=cand_cols + ["_maybe"])
         out = cands[cand_cols].copy()
         if not len(blobs):
-            out["_maybe"] = False
+            # Conservative default: a partition with NO filter blobs means
+            # absent/partial filter state (lost state dir, bloom_parts
+            # changed, filters enabled mid-crawl) — NOT "nothing seen".
+            # Degrade to the exact anti-join instead of silently skipping
+            # dedup for the whole partition.
+            out["_maybe"] = True
             return out
         h = cands["url_hash"].to_numpy(dtype=np.int64)
         maybe = np.zeros(len(h), dtype=bool)
@@ -269,3 +274,27 @@ def anti_join_seen_partitioned(
         .join(seen.select("url_hash"), "url_hash", "left_anti")
     )
     return definitely_new.unionByName(checked)
+
+
+def anti_join_seen_with_delta(
+    candidates: DataFrame,
+    seen_prev: DataFrame,
+    new_seen: DataFrame,
+    filters_state: DataFrame,
+    n_parts: int = 64,
+) -> DataFrame:
+    """candidates \\ (seen_prev ∪ new_seen), with the Bloom prefilter
+    applied ONLY to the part it actually covers.
+
+    The persisted filter state covers keys through the PREVIOUS round;
+    ``new_seen`` (this round's fetches) is not yet folded in.  Probing
+    the filters against the union would mark a candidate first seen
+    THIS round as definitely-new and skip the exact join — a double
+    fetch (the filter/exact mismatch flagged in round-1 advice).  So:
+    prefiltered exact anti-join against ``seen_prev`` (what the blobs
+    cover), then a plain anti-join against the one-round ``new_seen``
+    delta (small; broadcast by AQE).  Result is exactly
+    ``candidates \\ seen_all``.
+    """
+    base = anti_join_seen_partitioned(candidates, seen_prev, filters_state, n_parts)
+    return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")

@@ -133,7 +133,10 @@ def _fingerprint(store) -> str:
 
 
 def main() -> int:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+    if sys.argv[1:2] == ["--worker"]:
+        if len(sys.argv) < 4:
+            sys.stderr.write("usage: scaling_bench.py --worker <cpus> <work_dir>\n")
+            return 2
         cpus, work_dir = int(sys.argv[2]), sys.argv[3]
         print("RESULT " + json.dumps(run_level(cpus, work_dir)))
         return 0

@@ -184,6 +184,52 @@ def test_filter_state_epoch_growth(spark):
     assert got == 10000
 
 
+# ---- same-round collision: a candidate first seen THIS round must be
+# dropped even though the persisted filter blobs don't cover it yet
+def test_same_round_collision_not_refetched(spark):
+    seen_prev = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+    state = D.update_seen_filters(
+        spark.createDataFrame([], D.FILTER_STATE_SCHEMA), seen_prev, n_parts=4
+    ).persist()
+    state.count()
+    # this round fetched 1001/1003/1005 — NOT in seen_prev, NOT in blobs
+    new_seen = spark.createDataFrame([(1001,), (1003,), (1005,)], "url_hash: long")
+    # candidates collide with both the old set and the same-round delta
+    cands = spark.createDataFrame(
+        [(1001,), (1003,), (4,), (7,)], "url_hash: long"
+    ).withColumn("payload", F.col("url_hash") * 2)
+    got = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen_with_delta(
+            cands, seen_prev, new_seen, state, n_parts=4
+        ).collect()
+    )
+    assert got == [7]  # 1001/1003 seen this round, 4 seen before
+    state.unpersist()
+
+
+# ---- absent/partial filter state degrades to the exact anti-join
+# (conservative probe default), never to "skip dedup"
+def test_absent_filter_state_degrades_to_exact(spark):
+    seen = spark.range(0, 100).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 200).select(F.col("id").alias("url_hash"))
+    empty_state = spark.createDataFrame([], D.FILTER_STATE_SCHEMA)
+    got = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen_partitioned(cands, seen, empty_state, n_parts=4).collect()
+    )
+    assert got == list(range(100, 200))
+    # partial state: blobs exist for only one of 4 partitions
+    partial = D.update_seen_filters(
+        empty_state, seen.filter(F.pmod("url_hash", F.lit(4)) == 0), n_parts=4
+    )
+    got = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen_partitioned(cands, seen, partial, n_parts=4).collect()
+    )
+    assert got == list(range(100, 200))
+
+
 # ---- deterministic global sequence, partition-invariant
 def test_global_sequence_partition_invariant(spark):
     import random
