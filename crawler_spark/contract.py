@@ -372,10 +372,19 @@ def q_knn_per_vec(spark, sf):
 
 
 def q_embedding_lsh_topk(spark, sf):
-    """LSH-bucketed approximate top-10 vs vec_id=0 (rows-only check:
-    approximate by construction)."""
+    """Multi-table LSH approximate top-10 vs vec_id=0, planes scaled to
+    corpus size (rows-only check: approximate by construction; recall
+    ≥0.8 vs brute force pinned in tests/test_functions.py)."""
     emb = _t(spark, sf, "embeddings")
     return SIM.topk_lsh(emb, query_vec_id=0, dim=64, k=10)
+
+
+def q_knn_ivf(spark, sf):
+    """IVF-partitioned approximate 3-NN for every vector — the at-scale
+    kNN plan (no global crossJoin; ~2√N candidates per vector).
+    Rows-only: approximate by construction; recall ≥0.8 pinned in
+    tests/test_functions.py."""
+    return SIM.pairwise_topk_ivf(_t(spark, sf, "embeddings"), k=3, n_probe=2)
 
 
 # =====================================================================
@@ -427,6 +436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_topk": q_embedding_topk,
     "q_knn_per_vec": q_knn_per_vec,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
 }
 
@@ -645,5 +655,6 @@ ORACLES: dict[str, str] = {
         FROM ranked WHERE rn <= 3
     """,
     # rows-only (no oracle): q_minhash_neardup, q_simhash_neardup,
-    # q_rolling_fingerprint, q_embedding_lsh_topk, q_image_decode_meta
+    # q_rolling_fingerprint, q_embedding_lsh_topk, q_knn_ivf,
+    # q_image_decode_meta
 }

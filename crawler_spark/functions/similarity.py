@@ -77,26 +77,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
 
 
-def with_lsh_signature(
+def plane_count(n_vectors: int, target_bucket_size: int = 64) -> int:
+    """Planes per table sized to the corpus: 2^b buckets of roughly
+    ``target_bucket_size`` vectors each.  Fixed plane counts are how an
+    LSH index silently loses all recall — 16 planes over 10³ vectors is
+    65 536 buckets with <1 expected candidate per probe (the round-1
+    zero-recall failure); 4 planes over 10⁹ vectors is 16 giant buckets
+    that degenerate to brute force."""
+    import math
+
+    return max(2, int(math.ceil(math.log2(max(2.0, n_vectors / target_bucket_size)))))
+
+
+def with_lsh_signatures(
     embeddings: DataFrame,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int,
+    n_tables: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
-    sig_col: str = "bucket",
+    sig_col: str = "_sigs",
 ) -> DataFrame:
-    """Append the random-hyperplane signature (int bucket id).
+    """Append ``n_tables`` independent random-hyperplane signatures
+    (array<long>, one bucket id per table).
 
-    One numpy (batch × dim) @ (dim × planes) matmul per Arrow batch.
+    All tables' sign bits come from ONE numpy
+    (batch × dim) @ (dim × tables·planes) matmul per Arrow batch.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(dim, n_tables * n_planes, seed)
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes) > 0
+        bits = (m @ planes) > 0  # (batch, tables*planes)
+        bits = bits.reshape(len(m), n_tables, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(bits @ weights)
+        bucket = bits @ weights  # (batch, tables)
+        return pd.Series(list(bucket))
 
     return embeddings.withColumn(sig_col, sig(F.col(vec_col)))
 
@@ -106,34 +123,64 @@ def topk_lsh(
     query_vec_id: int,
     dim: int,
     k: int = 10,
-    n_planes: int = 16,
+    n_tables: int = 8,
+    n_planes: int | None = None,
+    target_bucket_size: int = 64,
+    n_vectors: int | None = None,
     seed: int = 42,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose signature matches the
-    query's bucket (or differs in one bit with multiprobe).  Recall is
-    approximate by construction — oracle checks are rows-only."""
-    signed = with_lsh_signature(embeddings, dim, n_planes, seed, vec_col)
-    qrow = signed.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"), F.col("bucket").alias("_qb")
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    L independent tables of b planes each (b scaled to corpus size via
+    :func:`plane_count` unless given): a vector is a candidate if it
+    shares a bucket with the query in ANY table (OR-amplification), and
+    multiprobe additionally probes every hamming-1 bucket per table.
+    Candidates are then scored EXACTLY (cosine) and top-k returned —
+    so precision is exact, recall is governed by L·b (pinned ≥0.8
+    vs :func:`topk_bruteforce` in tests/test_functions.py).
+
+    Plan shape (the 10^9-vector story): the (table, bucket, id) index
+    is the only exploded frame — vectors never shuffle.  Query probes
+    (L·(b+1) rows) broadcast onto it; surviving ids semi-join back to
+    the embedding table for exact scoring.
+    """
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        n_planes = plane_count(n_vectors, target_bucket_size)
+    signed = with_lsh_signatures(embeddings, dim, n_planes, n_tables, seed, vec_col)
+    tabled = signed.select(
+        F.col(id_col), F.posexplode("_sigs").alias("table", "bucket")
     )
+    qbuckets = tabled.filter(F.col(id_col) == query_vec_id).select("table", "bucket")
     if multiprobe:
         probes = F.array(
-            F.col("_qb"),
-            *[F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
-        qprobes = qrow.select("_qvec", F.explode(probes).alias("bucket"))
+        qprobes = qbuckets.select("table", F.explode(probes).alias("bucket"))
     else:
-        qprobes = qrow.select("_qvec", F.col("_qb").alias("bucket"))
-    cands = signed.filter(F.col(id_col) != query_vec_id).join(
-        F.broadcast(qprobes), "bucket"
+        qprobes = qbuckets
+    cand_ids = (
+        tabled.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(qprobes), ["table", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
     )
-    sims = cands.select(
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
-    ).dropDuplicates([id_col])
+    qvec = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    sims = (
+        embeddings.join(cand_ids, id_col, "left_semi")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
+        )
+    )
     return sims.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -144,10 +191,12 @@ def pairwise_topk_bruteforce(
     vec_col: str = "embedding",
     block: DataFrame | None = None,
 ) -> DataFrame:
-    """All-pairs exact top-k neighbors (small/medium corpora or within
-    IVF cells): self-join + per-id window rank.  At 10^9 vectors this
-    is the per-cell kernel after IVF partitioning, never the global
-    plan."""
+    """All-pairs exact top-k neighbors: self-join + per-id window rank.
+
+    O(N²) — the small-corpus / exact-oracle kernel ONLY.  The default
+    per-vector-kNN path at scale is :func:`pairwise_topk_ivf`, which
+    restricts each vector's candidate set to its probed IVF cells and
+    uses this same score-and-rank shape per cell."""
     from pyspark.sql import Window
 
     other = (block if block is not None else embeddings).select(
@@ -155,6 +204,148 @@ def pairwise_topk_bruteforce(
     )
     sims = (
         embeddings.crossJoin(other)
+        .filter(F.col(id_col) != F.col("nbr_id"))
+        .select(
+            F.col(id_col),
+            F.col("nbr_id"),
+            F.round(cosine_col(F.col(vec_col), F.col("_nvec")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "nbr_id", "sim", "rank")
+    )
+
+
+# ------------------------------------------------------------------ IVF ANN
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int,
+    seed: int = 42,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """K-means coarse quantizer trained on a bounded driver-side sample
+    — the one legitimate collect in this module (training a quantizer
+    on a ≤20k-row sample is standard IVF practice at any corpus size;
+    FAISS does the same).  The sample is selected by a hash predicate
+    on the id, not ``DataFrame.sample`` — deterministic across
+    partitioning/parallelism.
+
+    Returns an (n_cells, dim) float64 centroid matrix (deterministic
+    for a given seed: seeded k-means++ init, Lloyd iterations, empty
+    cells reseeded to the farthest point).
+    """
+    total = embeddings.count()
+    if total <= sample_size:
+        rows = embeddings.select(vec_col).collect()
+    else:
+        mod = max(1, total // sample_size)
+        rows = (
+            embeddings.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+            .select(vec_col)
+            .collect()
+        )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(x))
+
+    # k-means++ seeding
+    cents = np.empty((n_cells, x.shape[1]))
+    cents[0] = x[rng.integers(len(x))]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for i in range(1, n_cells):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        cents[i] = x[rng.choice(len(x), p=probs)]
+        d2 = np.minimum(d2, ((x - cents[i]) ** 2).sum(axis=1))
+
+    for _ in range(iters):
+        # Lloyd step; ||x-c||² = ||x||² - 2x·c + ||c||² (||x||² constant per row)
+        dists = -2.0 * (x @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        assign = dists.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+            else:
+                cents[c] = x[dists.min(axis=1).argmax()]
+    return cents
+
+
+def with_ivf_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    cells_col: str = "_cells",
+) -> DataFrame:
+    """Append the top-``n_probe`` nearest centroid ids (array<int>,
+    nearest first).  One numpy matmul per Arrow batch against the
+    broadcast centroid matrix."""
+    cents = centroids.astype(np.float64)
+    n_probe = min(n_probe, len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dists = -2.0 * (m @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        # argpartition + stable ordering of the probe set (ties by cell id)
+        idx = np.argsort(dists, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return embeddings.withColumn(cells_col, cells(F.col(vec_col)))
+
+
+def pairwise_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate per-vector top-k: IVF coarse partitioning, exact
+    scoring within probed cells — the default kNN plan at scale.
+
+    Every vector is INDEXED in its nearest cell and QUERIES its
+    ``n_probe`` nearest cells, so each vector scores ~n_probe·N/C
+    candidates instead of N (C = n_cells ≈ √N by default ⇒ ~2√N work
+    per vector).  A (query, neighbor) pair can arise in at most one
+    probed cell (the neighbor's home cell), so no dedup is needed.
+    Cells shuffle on cell id; a skewed cell is split by AQE skew-join.
+    Recall vs :func:`pairwise_topk_bruteforce` is pinned ≥0.8 in
+    tests/test_functions.py; approximate by construction → rows-only
+    in the driver contract.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    if n_cells is None:
+        n_cells = max(1, int(math.sqrt(n)))
+    if dim is None:
+        first = embeddings.select(F.size(vec_col)).first()
+        dim = int(first[0])
+    cents = train_ivf_centroids(embeddings, dim, n_cells, seed, id_col=id_col, vec_col=vec_col)
+    assigned = with_ivf_cells(embeddings, cents, n_probe, vec_col)
+    index = assigned.select(
+        F.col("_cells")[0].alias("cell"),
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_nvec"),
+    )
+    queries = assigned.select(
+        F.col(id_col), F.col(vec_col), F.explode("_cells").alias("cell")
+    )
+    sims = (
+        queries.join(index, "cell")
         .filter(F.col(id_col) != F.col("nbr_id"))
         .select(
             F.col(id_col),
