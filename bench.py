@@ -43,6 +43,9 @@ HEADLINE = [
     "q_sessionize",
     "q_crawl_round",
     "q_frontier_expand",
+    "q_extract_office",
+    "q_schema_last",
+    "q_json_envelope",
     "q_dedup_exact",
     "q_token_count",
     "q_quality_score",
@@ -51,6 +54,7 @@ HEADLINE = [
     "q_simhash_neardup",
     "q_embedding_topk",
     "q_embedding_lsh_topk",
+    "q_knn_ivf",
 ]
 
 

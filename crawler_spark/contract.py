@@ -64,6 +64,39 @@ def q_page_url(spark, sf):
     return part.select("p_partkey", with_page_param(base, page).alias("page_url"))
 
 
+def q_extract_office(spark, sf):
+    """P2 — dual schema-variant projection sharing ONE source
+    (office_crawler/handler.go:92-102 vs flat_crawler/handler.go:93-104):
+    the office variant's price is the per-m² selector and adds
+    total_price; rooms is flat-only.  Variant-specific columns are NULL
+    for the other variant (one superset table, as the engine's results
+    sink does — operators/fetch.py:extract_results)."""
+    part = _t(spark, sf, "part")
+    schema_name = F.when(F.col("p_size") % 2 == 0, F.lit("flat")).otherwise(
+        F.lit("office")
+    )
+    return part.select(
+        "p_partkey",
+        schema_name.alias("schema_name"),
+        extract_number("p_name").alias("price_digits"),
+        F.when(
+            schema_name == "flat", (F.pmod("p_partkey", F.lit(5)) + 1).cast("string")
+        ).alias("rooms"),
+        F.when(schema_name == "office", extract_number("p_brand")).alias(
+            "total_price_digits"
+        ),
+    )
+
+
+def q_json_envelope(spark, sf):
+    """P8 — JSON marshal of the payload envelope (NewEntry,
+    otodom/commons/entry.go:50-69) as to_json(struct(...))."""
+    return _t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.to_json(F.struct("n_nationkey", "n_name")).alias("envelope"),
+    )
+
+
 def q_safe_cast(spark, sf):
     """P6 — strconv.Atoi skip-on-error (total_pages/handler.go:30-43)."""
     return _t(spark, sf, "events").select(
@@ -178,6 +211,20 @@ def q_group_collect(spark, sf):
     )
 
 
+def q_schema_last(spark, sf):
+    """A2 — last-writer-wins schema map (orchestrator/handler.go:114):
+    one value kept per key, the one written last in the deterministic
+    order (max_by)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("last_type"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
 def q_metrics_counts(spark, sf):
     """A4 — counts → metrics rows."""
     qty = F.round(F.col("l_quantity")).cast("long")
@@ -225,8 +272,16 @@ def q_filter_nonempty(spark, sf):
 def q_order_by(spark, sf):
     """O1 — canonical total order via the scalable global_sequence
     operator (partition-count-invariant, crawler_spark.operators.ranking)."""
+    import pyarrow.parquet as pq
+
     part = _t(spark, sf, "part").select("p_partkey", "p_size")
-    return global_sequence(part, ["p_size", "p_partkey"]).select(
+    # small=True below ~10^6 rows: the single-window path fuses into the
+    # downstream stage instead of paying the ranged path's sample+count
+    # jobs (the engine applies the same heuristic, engine.py run_round).
+    # Row count from the parquet footer — driver-side, no Spark job.
+    # Bit-identical numbering either way (pinned in test_operators).
+    n = pq.read_metadata(f"{sf}/part.parquet").num_rows
+    return global_sequence(part, ["p_size", "p_partkey"], small=n < 1_000_000).select(
         "p_partkey", "p_size", "seq"
     )
 
@@ -404,6 +459,9 @@ def q_image_decode_meta(spark, sf):
 # =====================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_extract_number": q_extract_number,
+    "q_extract_office": q_extract_office,
+    "q_json_envelope": q_json_envelope,
+    "q_schema_last": q_schema_last,
     "q_substring_before": q_substring_before,
     "q_page_url": q_page_url,
     "q_safe_cast": q_safe_cast,
@@ -449,6 +507,26 @@ _SHINGLES = (
 ORACLES: dict[str, str] = {
     "q_extract_number": (
         "SELECT p_partkey, regexp_replace(p_name, '[^0-9]', '', 'g') AS digits FROM part"
+    ),
+    "q_extract_office": """
+        SELECT p_partkey,
+               CASE WHEN p_size % 2 = 0 THEN 'flat' ELSE 'office' END AS schema_name,
+               regexp_replace(p_name, '[^0-9]', '', 'g') AS price_digits,
+               CASE WHEN p_size % 2 = 0 THEN CAST((p_partkey % 5) + 1 AS VARCHAR)
+               END AS rooms,
+               CASE WHEN p_size % 2 = 1
+                    THEN regexp_replace(p_brand, '[^0-9]', '', 'g')
+               END AS total_price_digits
+        FROM part
+    """,
+    "q_json_envelope": (
+        "SELECT n_nationkey,"
+        " CAST(json_object('n_nationkey', n_nationkey, 'n_name', n_name) AS VARCHAR)"
+        " AS envelope FROM nation"
+    ),
+    "q_schema_last": (
+        "SELECT user_id, max_by(event_type, event_id) AS last_type,"
+        " max(event_id) AS last_event_id FROM events GROUP BY user_id"
     ),
     "q_substring_before": (
         "SELECT p_partkey, split_part(p_type, ' ', 1) AS head FROM part"

@@ -24,8 +24,17 @@ ordering decision derives from the total key (priority, page, url_hash)
 
 Physical-plan discipline (the part that matters at 10^10 URLs):
 
-- every frame that is both written and counted is persisted FIRST, so
-  no sink write ever recomputes upstream lineage;
+- every frame that is both written and counted is persisted FIRST and
+  materialized by ONE fully-parallel job (ok.count()), then ALL sink
+  writes run concurrently from cache — no write recomputes upstream
+  lineage, and none pays for materializing it through a narrow plan;
+- the fetch/extract/verify chain is repartitioned with an EXPLICIT
+  partition count after the fetch join: its cost is per row, not per
+  byte, and AQE's byte-based coalescing would otherwise fold a
+  politeness-bounded (byte-small) round into one task;
+- the frontier is an incremental add/del delta log over a periodically
+  compacted base snapshot (O(delta) writes per round, not
+  O(|frontier|) — sinks.read_frontier);
 - small state tables (dispatch_log, url_seen, dead, metrics) are
   written with a file count derived from row counts — no 32-file
   directories for 100-row rounds, no single-file bottleneck at scale;
@@ -62,6 +71,8 @@ class CrawlConfig:
     round_ms: int = P.DEFAULT_ROUND_MS
     max_rounds: int = 64
     seed_limit: int | None = None  # reference mode: 1 (G7 single-seed)
+    # frontier delta log: full-snapshot compaction cadence (rounds)
+    frontier_compact_every: int = 8
     use_bloom: bool = True
     bloom_parts: int = 64
     bloom_min_keys: int = 500_000  # below this the plain anti-join is cheaper
@@ -119,7 +130,7 @@ class CrawlEngine:
         allowed, blocked = R.split_robots(cand, self.robots)
         allowed = FR.dedup_within(allowed).persist()
         n_allowed, n_blocked = allowed.count(), blocked.count()
-        self.store.write_partition("frontier", 0, allowed, n_files=_n_files(n_allowed))
+        self.store.write_partition("frontier_base", 0, allowed, n_files=_n_files(n_allowed))
         self._write_metrics(0, n_blocked_robots=n_blocked, message="bootstrap")
         self.store.commit(0, {"frontier_rows": n_allowed, "seen_count": 0})
         allowed.unpersist()
@@ -146,9 +157,12 @@ class CrawlEngine:
         st = self.store
         prev_stats = (st.committed() or {}).get("stats", {})
         seen_count_prev = int(prev_stats.get("seen_count", 0))
-        # dispatch ≤ frontier; below ~10^6 rows the single-window
-        # sequencing path skips the ranged path's sample+count jobs
-        small_dispatch = int(prev_stats.get("frontier_rows", 0)) < 1_000_000
+        # dispatch ≤ frontier; below ~10^5 rows the single-window
+        # sequencing path skips the ranged path's sample+count jobs —
+        # above it, the one-task sort of the whole dispatch set costs
+        # more serial time than the ranged path's two extra (parallel)
+        # jobs.  Numbering is bit-identical either way (pinned).
+        small_dispatch = int(prev_stats.get("frontier_rows", 0)) < 100_000
         frontier = st.read_frontier(S.FRONTIER)
 
         ranked = P.rank_with_budget(
@@ -161,8 +175,15 @@ class CrawlEngine:
         ).persist()
         deferred = ranked.filter(~F.col("_dispatch")).drop("_dispatch")
 
-        fetched = FE.fetch_closed_world(
-            P.salt_partition(dispatch, cfg.num_salts), self.web_pages
+        # Salt AFTER the fetch join, with an EXPLICIT partition count:
+        # the join's own shuffle would otherwise replace any pre-join
+        # partitioning, and AQE's byte-based coalescing would then fold
+        # the (byte-small, row-expensive) extract+decode+verify chain
+        # into one task — observed as flat scaling across core counts.
+        fetched = P.salt_partition(
+            FE.fetch_closed_world(dispatch, self.web_pages),
+            cfg.num_salts,
+            num_partitions=self.spark.sparkContext.defaultParallelism,
         ).persist()
         ok, retry, dead = FE.split_fetch_outcomes(fetched)
 
@@ -199,29 +220,91 @@ class CrawlEngine:
             )
         else:
             fresh = D.anti_join_seen(exp_allowed, seen_all, None)
-        next_frontier = FR.merge_into_frontier(
-            deferred.select(*FR.FRONTIER_COLS).unionByName(retry.select(*FR.FRONTIER_COLS)),
-            fresh,
-        ).persist()
+        # Incremental frontier: per-round writes are the DELTA only
+        # (adds = fresh + retry re-adds; dels = dispatched url_hashes),
+        # O(delta) instead of O(|frontier|) per round; a full snapshot
+        # is compacted out every frontier_compact_every rounds to bound
+        # the reconstruction tail (sinks.read_frontier).  fresh is
+        # deduped against the carried-over rows exactly as the rewrite
+        # model's merge did — an already-queued key keeps its row.
+        carry = deferred.select(*FR.FRONTIER_COLS).unionByName(
+            retry.select(*FR.FRONTIER_COLS)
+        )
+        fresh_new = fresh.select(*FR.FRONTIER_COLS).join(
+            carry.select("url_hash"), "url_hash", "left_anti"
+        )
+        delta_adds = (
+            retry.select(*FR.FRONTIER_COLS)
+            .unionByName(fresh_new.select(*FR.FRONTIER_COLS))
+            .persist()
+        )
+        compact = round_no % cfg.frontier_compact_every == 0
+        next_frontier = (
+            carry.unionByName(fresh_new.select(*FR.FRONTIER_COLS)).persist()
+            if compact
+            else None
+        )
+
+        # schema-metadata sink (A2 + S4's real target): within the round,
+        # last-writer-wins per SchemaKey (orchestrator/handler.go:114 —
+        # max(seq) is the deterministic "last" of our total dispatch
+        # order); across rounds, first-writer-wins idempotent insert
+        # (ON CONFLICT DO NOTHING, database/handler.go:54-67) = left_anti
+        # against the committed table.
+        import json as _json
+
+        schemas_prev = st.read("schemas", S.SCHEMA_META)
+        schema_json_map = F.create_map(
+            *[
+                c
+                for name, fields in S.SCHEMA_FIELDS.items()
+                for c in (F.lit(name), F.lit(_json.dumps(fields)))
+            ]
+        )
+        new_schemas = (
+            ok.groupBy("domain", "schema_name", "schema_version")
+            .agg(F.max("seq").alias("_last_seq"))
+            .select(F.col("domain").alias("schema_group"), "schema_name", "schema_version")
+            .join(
+                schemas_prev.select("schema_group", "schema_name", "schema_version"),
+                ["schema_group", "schema_name", "schema_version"],
+                "left_anti",
+            )
+            .withColumn(
+                "schema_json",
+                F.coalesce(
+                    F.element_at(schema_json_map, F.col("schema_name")), F.lit("[]")
+                ),
+            )
+            .withColumn(
+                "created",
+                F.to_timestamp(
+                    F.lit(cfg.run_ts.replace("Z", "").replace("T", " "))
+                ),
+            )
+        )
 
         _mark("plan_build")
 
-        # ---- writes, staged: url_seen first (its job materializes the
-        # ranked→dispatch→fetched cache chain), then everything else
-        # concurrently.  expansion_log and frontier may race on the
-        # expansion cache — worst case the (cheap, cache-backed) explode
-        # runs twice; the shared fetched cache is already materialized.
+        # ---- materialize the ranked→dispatch→fetched cache chain with
+        # ONE fully-parallel job (count over the persisted frame) so no
+        # write pays for it — the previous barrier (url_seen coalesce(1)
+        # written first) pulled the whole chain through a single task.
+        n_ok = ok.count()
+        _mark("materialize_fetch")
+
+        # ---- all writes concurrent; every input is cache-backed.
+        # expansion_log and frontier may race on the expansion cache —
+        # worst case the (cheap, cache-backed) explode runs twice.
         # No separate stats job: every per-round metric is recovered
         # afterwards from parquet footers (driver-side, milliseconds).
         from concurrent.futures import ThreadPoolExecutor
-
-        st.write_partition("url_seen", round_no, new_seen, n_files=1)
-        _mark("write_url_seen")
 
         # expansion_log / dispatch_log keep natural partitioning: they are
         # the two larger logs, and a coalesce(1) single-task write of a
         # cached frame is serial time every other core spends idle
         writes = [
+            ("url_seen", new_seen, 1),
             (
                 "expansion_log",
                 expansion.select(
@@ -239,9 +322,12 @@ class CrawlEngine:
             # serialize the round's dominant compute into one task
             ("results", results, None),
             ("dead", dead.select(*FR.FRONTIER_COLS), 1),
-            ("frontier", next_frontier, None),
+            ("frontier_add", delta_adds, None),
+            ("frontier_del", dispatch.select("url_hash"), 1),
+            ("schemas", new_schemas, 1),
         ]
-        n_ok = st.partition_row_count("url_seen", round_no)
+        if compact:
+            writes.append(("frontier_base", next_frontier, None))
         if cfg.use_bloom and (use_filters or seen_count_prev + n_ok >= cfg.bloom_min_keys):
             # maintain the state from the crossing round on (first update
             # folds the whole seen set once; after that only new keys)
@@ -263,9 +349,15 @@ class CrawlEngine:
         n_dispatched = st.partition_row_count("dispatch_log", round_no)
         n_dead = st.partition_row_count("dead", round_no)
         n_results = st.partition_row_count("results", round_no)
-        n_frontier = st.partition_row_count("frontier", round_no)
         n_candidates = st.partition_row_count("expansion_log", round_no)
         n_retry = n_dispatched - n_ok - n_dead
+        # delta arithmetic (exact: footers are exact): the frontier
+        # shrinks by the dispatch set and grows by the add delta
+        n_add = st.partition_row_count("frontier_add", round_no)
+        n_fresh = n_add - n_retry
+        n_frontier = (
+            int(prev_stats.get("frontier_rows", 0)) - n_dispatched + n_add
+        )
         n_blocked = 0
         if n_candidates:
             import pyarrow.compute as pc
@@ -279,15 +371,6 @@ class CrawlEngine:
                 or 0
             )
         n_expanded = n_candidates - n_blocked
-        if n_frontier and n_frontier < 10_000_000:
-            import pyarrow.compute as pc
-
-            ra = st.read_partition_column("frontier", round_no, "round_added")
-            n_fresh = int(pc.sum(pc.equal(ra, round_no).cast("int64")).as_py() or 0)
-        else:
-            # frontier too large for a driver-side column read → one
-            # Spark count over the cached frame
-            n_fresh = next_frontier.filter(F.col("round_added") == round_no).count()
         n_deferred = n_frontier - n_retry - n_fresh
         n_deduped = n_expanded - n_fresh
         _mark("footer_stats")
@@ -314,7 +397,10 @@ class CrawlEngine:
             },
         )
 
-        for df in (ranked, dispatch, fetched, expansion, next_frontier):
+        to_unpersist = [ranked, dispatch, fetched, expansion, delta_adds]
+        if next_frontier is not None:
+            to_unpersist.append(next_frontier)
+        for df in to_unpersist:
             df.unpersist()
         return {
             "round": round_no,

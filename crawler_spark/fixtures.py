@@ -45,6 +45,13 @@ POLISH_PRICES = [
 LISTINGS_PER_PAGE = 24
 DEFAULT_SEED = 42
 
+# Raw selector-text analogues for the two extraction variants
+# (flat_crawler/handler.go:95-101 vs office_crawler/handler.go:94-101):
+# rooms (flat-only selector), area (both), total price (office-only).
+POLISH_ROOMS = ["2 pokoje", "3 pokoje", "4 pokoje", "kawalerka"]  # last: no digits
+POLISH_AREAS = ["39 m²", "58,5 m²", "120 m²"]
+POLISH_TOTALS = ["750 000 zł", "1 100 zł /mc", "2 350 zł"]
+
 
 # ------------------------------------------------------------------ seeds
 def gen_seeds_df(
@@ -124,6 +131,27 @@ def gen_web_pages_df(seeds: DataFrame, n_images: int) -> DataFrame:
                 F.pmod(x, F.lit(16)),
             ),
         ).alias("listing_links"),
+        F.transform(
+            j,
+            lambda x: F.element_at(
+                F.array(*[F.lit(s) for s in POLISH_ROOMS]),
+                (F.pmod(h31 + x * 3, F.lit(len(POLISH_ROOMS))) + 1).cast("int"),
+            ),
+        ).alias("listing_rooms"),
+        F.transform(
+            j,
+            lambda x: F.element_at(
+                F.array(*[F.lit(s) for s in POLISH_AREAS]),
+                (F.pmod(h31 + x * 5, F.lit(len(POLISH_AREAS))) + 1).cast("int"),
+            ),
+        ).alias("listing_areas"),
+        F.transform(
+            j,
+            lambda x: F.element_at(
+                F.array(*[F.lit(s) for s in POLISH_TOTALS]),
+                (F.pmod(h31 + x * 7, F.lit(len(POLISH_TOTALS))) + 1).cast("int"),
+            ),
+        ).alias("listing_totals"),
         F.when(fail_r < 90, F.lit(0))
         .when(fail_r < 99, (F.pmod(F.xxhash64(F.concat("url", F.lit("fail"))), F.lit(4)) + 1))
         .otherwise(F.lit(99))

@@ -29,6 +29,11 @@ class GoldenResult:
     dispatch_log: list[tuple[int, int, int]] = field(default_factory=list)  # (round, seq, url_hash)
     seen: dict[int, int] = field(default_factory=dict)  # url_hash -> first_round
     n_results: int = 0
+    # P2 dual projection: results split per extraction variant
+    n_results_by_schema: dict[str, int] = field(default_factory=dict)
+    # (schema_group=domain, schema_name, schema_version) -> first round seen
+    # (S4 ON CONFLICT DO NOTHING: first writer wins)
+    schema_keys: dict[tuple[str, str, str], int] = field(default_factory=dict)
     n_blocked_robots: int = 0
     rounds: int = 0
 
@@ -120,6 +125,13 @@ def run_golden(
                 # success (RetryAttempts model: first fail_attempts tries fail)
                 res.seen[uh] = rnd
                 res.n_results += len(page["listing_ids"])
+                s = row["seed"]
+                sn = s["schema_name"]
+                res.n_results_by_schema[sn] = res.n_results_by_schema.get(sn, 0) + len(
+                    page["listing_ids"]
+                )
+                key = (s["domain"], sn, s["schema_version"])
+                res.schema_keys.setdefault(key, rnd)
                 if row["page"] == 0:
                     # G2 expansion, pages 1..last_page-1 (off-by-one pin,
                     # total_pages/handler.go:53-65)

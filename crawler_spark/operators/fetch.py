@@ -43,6 +43,9 @@ PAGE_CONTENT_COLS = [
     "listing_ids",
     "listing_prices",
     "listing_links",
+    "listing_rooms",
+    "listing_areas",
+    "listing_totals",
     "fail_attempts",
 ]
 
@@ -73,12 +76,32 @@ def split_fetch_outcomes(
 
 
 def extract_results(ok_pages: DataFrame, web_images: DataFrame, round_no: int) -> DataFrame:
-    """P1/P2 projection: page → one row per listing, + image payload join."""
+    """P1/P2 dual projection: page → one row per listing, + image join.
+
+    The reference ships TWO extract projections over the same page
+    source, selected by crawler function (= our ``schema_name``):
+
+    - flat (flat_crawler/handler.go:93-104): price = full price, plus a
+      ``rooms`` selector (handler.go:98);
+    - office (office_crawler/handler.go:92-102): price = per-m² price
+      (selector ``li.offer-item-price-per-m``, handler.go:97), plus a
+      ``total_price`` selector (handler.go:96) — and NO rooms.
+
+    One result table carries the superset schema with variant-specific
+    columns NULL for the other variant (idiomatic Spark: one table,
+    partitioned by schema_name, instead of two sinks).  All scalar
+    extraction is the shared ExtractNumber / TakeChractersBefore pair.
+    """
     z = F.arrays_zip(
         F.col("listing_ids").alias("lid"),
         F.col("listing_prices").alias("price_raw"),
         F.col("listing_links").alias("link_raw"),
+        F.col("listing_rooms").alias("rooms_raw"),
+        F.col("listing_areas").alias("area_raw"),
+        F.col("listing_totals").alias("total_raw"),
     )
+    is_flat = F.col("schema_name") == "flat"
+    is_office = F.col("schema_name") == "office"
     listings = ok_pages.select(
         F.col("url_hash").alias("page_url_hash"),
         "domain",
@@ -92,6 +115,11 @@ def extract_results(ok_pages: DataFrame, web_images: DataFrame, round_no: int) -
         "schema_version",
         F.format_string("img-%012d", F.col("_l.lid")).alias("image_id"),
         extract_number(F.col("_l.price_raw")).alias("price_digits"),
+        extract_number(F.col("_l.area_raw")).alias("area_digits"),
+        F.when(is_flat, extract_number(F.col("_l.rooms_raw"))).alias("rooms_digits"),
+        F.when(is_office, extract_number(F.col("_l.total_raw"))).alias(
+            "total_price_digits"
+        ),
         take_before(F.col("_l.link_raw"), ".html").alias("link"),
     )
     return (
@@ -111,6 +139,9 @@ def extract_results(ok_pages: DataFrame, web_images: DataFrame, round_no: int) -
             "fmt",
             "phash",
             "price_digits",
+            "area_digits",
+            "rooms_digits",
+            "total_price_digits",
             "link",
         )
     )

@@ -78,6 +78,20 @@ def split_by_budget(
     return dispatch, deferred
 
 
-def salt_partition(dispatch: DataFrame, num_salts: int = 8) -> DataFrame:
-    """Physical-only: spread hot hosts across tasks for the fetch stage."""
-    return dispatch.repartition(F.col("host"), F.pmod(F.col("url_hash"), F.lit(num_salts)))
+def salt_partition(
+    dispatch: DataFrame, num_salts: int = 8, num_partitions: int | None = None
+) -> DataFrame:
+    """Physical-only: spread hot hosts across tasks for the fetch stage.
+
+    Pass ``num_partitions`` (typically default parallelism) to PIN the
+    task count: a repartition without an explicit N is advisory and AQE
+    coalesces it by BYTE size — the wrong granularity signal for the
+    CPU-bound fetch/extract/verify stages downstream, whose cost is per
+    row, not per byte.  A politeness-bounded round is small in bytes,
+    so byte-based coalescing collapses it to one task and the round's
+    dominant compute stops scaling with cores.
+    """
+    cols = [F.col("host"), F.pmod(F.col("url_hash"), F.lit(num_salts))]
+    if num_partitions:
+        return dispatch.repartition(num_partitions, *cols)
+    return dispatch.repartition(*cols)

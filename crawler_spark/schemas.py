@@ -45,6 +45,10 @@ WEB_PAGES = T.StructType(
         T.StructField("listing_ids", T.ArrayType(T.LongType()), False),
         T.StructField("listing_prices", T.ArrayType(T.StringType()), False),
         T.StructField("listing_links", T.ArrayType(T.StringType()), False),
+        # selector-text analogues for the flat/office extraction variants
+        T.StructField("listing_rooms", T.ArrayType(T.StringType()), False),
+        T.StructField("listing_areas", T.ArrayType(T.StringType()), False),
+        T.StructField("listing_totals", T.ArrayType(T.StringType()), False),
         T.StructField("fail_attempts", T.IntegerType(), False),
     ]
 )
@@ -110,13 +114,61 @@ RESULTS = T.StructType(
         T.StructField("h", T.IntegerType(), True),
         T.StructField("fmt", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        # P1/P2 dual projection: price is the full price for the flat
+        # variant and the per-m² price for the office variant (the same
+        # extractor over different selectors in the reference —
+        # flat_crawler/handler.go:99 vs office_crawler/handler.go:97);
+        # rooms is flat-only, total_price is office-only (NULL otherwise).
         T.StructField("price_digits", T.StringType(), True),
+        T.StructField("area_digits", T.StringType(), True),
+        T.StructField("rooms_digits", T.StringType(), True),
+        T.StructField("total_price_digits", T.StringType(), True),
         T.StructField("link", T.StringType(), True),
         # verify_rows gate (engine cfg.verify_rows, input_hint invariant)
         T.StructField("psnr_db", T.DoubleType(), True),
         T.StructField("phash_ok", T.BooleanType(), True),
     ]
 )
+
+# Schema-metadata table (reference Postgres `schemas` sink: one row per
+# SchemaKey, first-writer-wins via ON CONFLICT DO NOTHING —
+# database/handler.go:54-67, commons/Entry.go:37; in-run last-writer-wins
+# map orchestrator/handler.go:114).  ``schema_json`` carries the Field
+# {name, description, type} triples the reference ships as data
+# (otodom/commons/entry.go:12-27).
+SCHEMA_META = T.StructType(
+    [
+        T.StructField("schema_group", T.StringType(), False),  # = domain
+        T.StructField("schema_name", T.StringType(), False),
+        T.StructField("schema_version", T.StringType(), False),
+        T.StructField("schema_json", T.StringType(), False),
+        T.StructField("created", T.TimestampType(), False),
+    ]
+)
+
+# Field triples per extraction variant (flat_crawler/handler.go:57-70 /
+# office_crawler/handler.go:56-69): the payload schema shipped as data.
+SCHEMA_FIELDS = {
+    "flat": [
+        {"name": "title", "type": "text"},
+        {"name": "name", "type": "text"},
+        {"name": "region", "type": "text"},
+        {"name": "rooms", "type": "number"},
+        {"name": "price", "type": "number"},
+        {"name": "area", "type": "number"},
+        {"name": "link", "type": "URL"},
+    ],
+    "office": [
+        {"name": "title", "type": "text"},
+        {"name": "name", "type": "text"},
+        {"name": "region", "type": "text"},
+        {"name": "price", "type": "number"},  # per-m²
+        {"name": "total_price", "type": "number"},
+        {"name": "area", "type": "number"},
+        {"name": "link", "type": "URL"},
+    ],
+}
+
 
 # Metrics/lineage rows (reference Result, commons/result.go:6-11 + R3).
 CRAWL_METRICS = T.StructType(

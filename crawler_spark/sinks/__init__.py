@@ -7,10 +7,12 @@ offline in this sandbox — the swap is confined to this module):
   (``<table>/round=N/``), Hive layout → Catalyst partition-prunes on
   ``round`` exactly like the reference's Hive-style MinIO paths
   (storage/handler.go:103);
-- append tables (results, url_seen, metrics, dispatch_log, dead)
-  accumulate one partition per round; the frontier is REWRITTEN whole
-  each round (compaction model — the standard frontier representation;
-  an incremental delta+compact variant is a planned optimization);
+- append tables (results, url_seen, metrics, dispatch_log, dead, …)
+  accumulate one partition per round; the frontier is an INCREMENTAL
+  log (``frontier_add``/``frontier_del`` deltas over a periodically
+  compacted ``frontier_base`` snapshot — see :meth:`read_frontier`),
+  so per-round frontier write volume is ∝ the round's delta, not
+  O(|frontier|);
 - a round becomes visible only when ``checkpoint.json`` is atomically
   replaced (tmp + os.replace) AFTER all its partitions are fully
   written — readers resolve the committed round first and read only
@@ -33,8 +35,24 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-APPEND_TABLES = ("results", "url_seen", "metrics", "dispatch_log", "dead", "expansion_log")
-REWRITE_TABLES = ("frontier", "seen_filters")
+APPEND_TABLES = (
+    "results",
+    "url_seen",
+    "metrics",
+    "dispatch_log",
+    "dead",
+    "expansion_log",
+    "schemas",
+    "frontier_add",
+    "frontier_del",
+)
+REWRITE_TABLES = ("frontier_base", "seen_filters")
+
+# Hive sub-partitioning inside each round dir, mirroring the reference's
+# object layout `schema_name=%s/schema_version=%s/created=%d/...`
+# (storage/handler.go:103): results/round=N/schema_name=…/schema_version=…/
+# → Catalyst partition-prunes per-schema reads down to one subtree.
+TABLE_PARTITIONS = {"results": ["schema_name", "schema_version"]}
 
 
 class StateStore:
@@ -72,7 +90,11 @@ class StateStore:
         if n_files is not None:
             df = df.coalesce(n_files)
         path = os.path.join(self.root, table, f"round={round_no}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        pcols = TABLE_PARTITIONS.get(table)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(path)
 
     def write_row_partition(self, table: str, round_no: int, row: dict, schema) -> None:
         """Driver-side single-row partition write (pyarrow, no Spark job).
@@ -113,12 +135,13 @@ class StateStore:
         if not os.path.isdir(path):
             return 0
         total = 0
-        for f in os.listdir(path):
-            if f.endswith(".parquet") or f.startswith("part-"):
-                try:
-                    total += pq.read_metadata(os.path.join(path, f)).num_rows
-                except Exception:
-                    continue
+        for d, _dirs, files in os.walk(path):  # Hive sub-partitions nest
+            for f in files:
+                if f.endswith(".parquet") or f.startswith("part-"):
+                    try:
+                        total += pq.read_metadata(os.path.join(d, f)).num_rows
+                    except Exception:
+                        continue
         return total
 
     def read_partition_column(self, table: str, round_no: int, column: str):
@@ -178,13 +201,86 @@ class StateStore:
             reader = reader.schema(schema)
         return reader.parquet(*dirs)
 
+    def _latest_base_round(self, upto: int) -> int:
+        base = os.path.join(self.root, "frontier_base")
+        if not os.path.isdir(base):
+            return -1
+        rounds = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("round=") and int(d.split("=", 1)[1]) <= upto
+        ]
+        return max(rounds) if rounds else -1
+
     def read_frontier(self, schema: T.StructType) -> DataFrame:
-        """The frontier snapshot of the committed round only."""
+        """Committed frontier, reconstructed from the incremental log.
+
+        The frontier is NOT rewritten per round (an O(|frontier|) write
+        every round dwarfs the dispatched delta at 10^10 rows).  State =
+        a base snapshot (``frontier_base``, written at bootstrap and at
+        compaction rounds) plus per-round deltas: ``frontier_add`` (new
+        candidates + retry re-adds) and ``frontier_del`` (dispatched
+        url_hashes).  A key is live iff its latest add round ≥ its
+        latest del round (a retry/readd shares the round of its del →
+        tie means live), and its row is the latest add.  Reconstruction
+        is two url_hash-key shuffles over base+deltas; compaction bounds
+        the delta tail.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         r = self.committed_round()
-        path = os.path.join(self.root, "frontier", f"round={r}")
-        if r < 0 or not os.path.isdir(path):
+        base_round = self._latest_base_round(r)
+        if base_round < 0:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        cols = [f.name for f in schema.fields]
+        base_df = (
+            self.spark.read.schema(schema)
+            .parquet(os.path.join(self.root, "frontier_base", f"round={base_round}"))
+            .withColumn("_add_round", F.lit(base_round))
+        )
+        add_dirs = [
+            d
+            for d in self._round_dirs("frontier_add", r)
+            if int(os.path.basename(d).split("=", 1)[1]) > base_round
+        ]
+        del_dirs = [
+            d
+            for d in self._round_dirs("frontier_del", r)
+            if int(os.path.basename(d).split("=", 1)[1]) > base_round
+        ]
+        if not add_dirs and not del_dirs:
+            return base_df.drop("_add_round")
+        adds = base_df
+        if add_dirs:
+            delta = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self.root, "frontier_add")
+                )
+                .parquet(*add_dirs)
+                .withColumn("_add_round", F.col("round").cast("int"))
+                .select(*cols, "_add_round")
+            )
+            adds = adds.unionByName(delta)
+        w = Window.partitionBy("url_hash").orderBy(F.col("_add_round").desc())
+        latest = adds.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        if del_dirs:
+            dels = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self.root, "frontier_del")
+                )
+                .parquet(*del_dirs)
+                .select("url_hash", F.col("round").cast("int").alias("_del_round"))
+                .groupBy("url_hash")
+                .agg(F.max("_del_round").alias("_del_round"))
+            )
+            latest = latest.join(dels, "url_hash", "left").filter(
+                F.col("_del_round").isNull()
+                | (F.col("_add_round") >= F.col("_del_round"))
+            )
+        return latest.select(*cols)
 
     # ------------------------------------------------------------- hygiene
     def vacuum_uncommitted(self) -> None:

@@ -28,14 +28,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Sized so per-round task work (fetch join, extraction explode, result
-# write with image payloads) dominates fixed job-scheduling overhead —
+# Sized so per-round task work (fetch join, extraction explode, image
+# decode/verify, result write) dominates fixed per-round driver work —
 # the scaling-efficiency comparison is meaningless on overhead-bound
-# rounds (BASELINE.md: ≥60 s of steady-state work at local[8]).
+# rounds.  FEW, FAT rounds (big politeness budget) are the honest
+# local stand-in for the 10^10-URL regime, where a round is millions
+# of URLs and fixed round overhead is noise; 8 × 20k-URL rounds
+# over-represent per-round fixed costs by ~100× vs the target scale.
 N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "64000"))
 N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "1280"))
 N_IMAGES = int(os.environ.get("SCALING_N_IMAGES", "1500"))
-BASE_BUDGET = int(os.environ.get("SCALING_BUDGET", "64"))
+BASE_BUDGET = int(os.environ.get("SCALING_BUDGET", "512"))
 MAX_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "8"))
 
 
@@ -165,12 +168,27 @@ def main() -> int:
             # it, local[8]'s python workers spill onto all 32 host
             # cores and the "small cluster" baseline is quietly 4x too
             # fast.
-            cmd = [
-                sys.executable, os.path.abspath(__file__), "--worker", str(cpus), work_dir
-            ]
+            # Workers launch through spark-submit --py-files (the
+            # north_star launch path; scripts/submit.sh) when available;
+            # SCALING_SUBMIT=0 falls back to a plain python worker.
+            if shutil.which("spark-submit") and os.environ.get("SCALING_SUBMIT", "1") == "1":
+                submit = os.path.join(os.path.dirname(os.path.abspath(__file__)), "submit.sh")
+                cmd = [submit, os.path.abspath(__file__), "--worker", str(cpus), work_dir]
+                env_master = {"SPARK_MASTER": f"local[{cpus}]"}
+            else:
+                cmd = [
+                    sys.executable, os.path.abspath(__file__), "--worker", str(cpus), work_dir
+                ]
+                env_master = {}
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+            p = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env={**os.environ, **env_master},
+            )
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
             if not line:
                 sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])

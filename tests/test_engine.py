@@ -93,6 +93,75 @@ def test_result_rows_match_golden(full_run, golden):
     assert n > 0
 
 
+def test_results_split_by_schema_matches_golden(full_run, golden):
+    """P2 dual projection: per-variant result counts match the golden
+    model, and variant-specific columns are NULL exactly for the other
+    variant (flat: rooms, no total_price; office: total_price per the
+    office_crawler per-m² + total selectors, no rooms)."""
+    from pyspark.sql import functions as F
+
+    store, _ = full_run
+    res = store.read("results")
+    counts = {r["schema_name"]: r["n"] for r in res.groupBy("schema_name").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == golden.n_results_by_schema
+    assert set(counts) == {"flat", "office"}
+    flat = res.filter(F.col("schema_name") == "flat")
+    office = res.filter(F.col("schema_name") == "office")
+    assert flat.filter(F.col("total_price_digits").isNotNull()).count() == 0
+    assert office.filter(F.col("rooms_digits").isNotNull()).count() == 0
+    assert office.filter(F.col("total_price_digits").isNotNull()).count() > 0
+    # rooms mostly non-null ("kawalerka" legitimately extracts to "")
+    assert flat.filter(F.col("rooms_digits").isNotNull()).count() > 0
+    # area extracted for both variants
+    assert res.filter(F.col("area_digits").isNull()).count() == 0
+
+
+def test_schema_metadata_table(full_run, golden):
+    """A2/S4: one schema row per (schema_group, schema_name,
+    schema_version), first-writer-wins across rounds (ON CONFLICT DO
+    NOTHING), written in the round the key first produced results."""
+    import json
+
+    store, _ = full_run
+    rows = store.read("schemas").collect()  # no explicit schema → keep `round`
+    keys = {(r["schema_group"], r["schema_name"], r["schema_version"]) for r in rows}
+    assert keys == set(golden.schema_keys)
+    assert len(rows) == len(keys), "duplicate schema rows: conflict-insert broken"
+    for r in rows:
+        k = (r["schema_group"], r["schema_name"], r["schema_version"])
+        assert r["round"] == golden.schema_keys[k]
+        fields = json.loads(r["schema_json"])
+        names = [f["name"] for f in fields]
+        if r["schema_name"] == "office":
+            assert "total_price" in names and "rooms" not in names
+        else:
+            assert "rooms" in names and "total_price" not in names
+
+
+def test_results_partition_pruning(full_run):
+    """The results table's Hive layout (round/schema_name/schema_version,
+    mirroring storage/handler.go:103) actually prunes: a per-schema read
+    touches only that schema's files."""
+    from pyspark.sql import functions as F
+
+    store, _ = full_run
+    res = store.read("results")  # partition cols from dir layout
+    # input_file_name() is runtime truth: the files a pruned scan touched
+    flat_files = [
+        r[0]
+        for r in res.filter(res.schema_name == "flat")
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert flat_files, "no files scanned"
+    assert all("schema_name=flat" in f for f in flat_files)
+    # and the physical plan carries the partition filter (Catalyst pruning)
+    plan = res.filter(res.schema_name == "flat")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "schema_name" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_row_invariants_gate(full_run):
     """input_hint per-row invariant, checked in-engine (verify_rows):
     phash equality for every payload; PSNR ≥ 40 dB for lossy, exact
@@ -121,7 +190,9 @@ def test_results_write_stays_parallel(full_run):
     first_round = sorted(
         d for d in os.listdir(os.path.join(store.root, "results")) if d.startswith("round=")
     )[0]
-    parts = glob.glob(os.path.join(store.root, "results", first_round, "part-*"))
+    parts = glob.glob(
+        os.path.join(store.root, "results", first_round, "**", "part-*"), recursive=True
+    )
     assert len(parts) >= 2, "results written by a single task"
 
 
@@ -158,7 +229,13 @@ def test_bloom_filter_path_equivalence(spark, fixture_paths, tmp_path, full_run,
     and URL-seen set — the prefilter may never change semantics."""
     full_store, _ = full_run
     cfg = CrawlConfig(
-        base_budget=BUDGET, max_rounds=MAX_ROUNDS, bloom_min_keys=1, bloom_parts=8
+        base_budget=BUDGET,
+        max_rounds=MAX_ROUNDS,
+        bloom_min_keys=1,
+        bloom_parts=8,
+        # tight compaction cadence: exercises base+delta reconstruction
+        # across several compaction boundaries in one equivalence run
+        frontier_compact_every=3,
     )
     store, engine = _make_engine(spark, fixture_paths, str(tmp_path / "bloom"), cfg)
     engine.run(spark.read.parquet(fixture_paths["seeds"]))
