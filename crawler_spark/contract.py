@@ -430,8 +430,11 @@ def q_embedding_lsh_topk(spark, sf):
     """Multi-table LSH approximate top-10 vs vec_id=0, planes scaled to
     corpus size (rows-only check: approximate by construction; recall
     ≥0.8 vs brute force pinned in tests/test_functions.py)."""
+    import pyarrow.parquet as pq
+
     emb = _t(spark, sf, "embeddings")
-    return SIM.topk_lsh(emb, query_vec_id=0, dim=64, k=10)
+    n = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows  # no count job
+    return SIM.topk_lsh(emb, query_vec_id=0, dim=64, k=10, n_vectors=n)
 
 
 def q_knn_ivf(spark, sf):
@@ -439,7 +442,12 @@ def q_knn_ivf(spark, sf):
     kNN plan (no global crossJoin; ~2√N candidates per vector).
     Rows-only: approximate by construction; recall ≥0.8 pinned in
     tests/test_functions.py."""
-    return SIM.pairwise_topk_ivf(_t(spark, sf, "embeddings"), k=3, n_probe=2)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows  # no count job
+    return SIM.pairwise_topk_ivf(
+        _t(spark, sf, "embeddings"), k=3, n_probe=2, dim=64, n_vectors=n
+    )
 
 
 # =====================================================================

@@ -8,10 +8,13 @@ Design for 100 TB / 10^9+ vectors:
   aggregate) — JVM codegen, no Python, no shuffle beyond the final
   top-k (which AQE collapses to a single small exchange because the
   candidate set is already filtered);
-- the ANN path computes b sign-bits per vector against deterministic
-  seeded hyperplanes in ONE Arrow-batched numpy matmul per batch,
-  buckets on the signature int, and only scores candidates sharing a
-  bucket (multi-probe = hamming-1 neighbors of the query signature).
+- the LSH ANN path computes L independent b-bit signatures per vector
+  (b scaled to corpus size) in ONE Arrow-batched numpy matmul per
+  batch, buckets per table, and exactly scores candidates sharing any
+  bucket with the query (multi-probe = hamming-1 per table);
+- the IVF ANN path (per-vector kNN at scale) partitions by a k-means
+  coarse quantizer and scores exactly within each vector's probed
+  cells — ~n_probe·N/C candidates per vector instead of N.
 """
 
 from __future__ import annotations
@@ -229,6 +232,7 @@ def train_ivf_centroids(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> np.ndarray:
     """K-means coarse quantizer trained on a bounded driver-side sample
     — the one legitimate collect in this module (training a quantizer
@@ -241,7 +245,7 @@ def train_ivf_centroids(
     for a given seed: seeded k-means++ init, Lloyd iterations, empty
     cells reseeded to the farthest point).
     """
-    total = embeddings.count()
+    total = n_vectors if n_vectors is not None else embeddings.count()
     if total <= sample_size:
         rows = embeddings.select(vec_col).collect()
     else:
@@ -310,6 +314,7 @@ def pairwise_topk_ivf(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate per-vector top-k: IVF coarse partitioning, exact
     scoring within probed cells — the default kNN plan at scale.
@@ -328,13 +333,15 @@ def pairwise_topk_ivf(
 
     from pyspark.sql import Window
 
-    n = embeddings.count()
+    n = n_vectors if n_vectors is not None else embeddings.count()
     if n_cells is None:
         n_cells = max(1, int(math.sqrt(n)))
     if dim is None:
         first = embeddings.select(F.size(vec_col)).first()
         dim = int(first[0])
-    cents = train_ivf_centroids(embeddings, dim, n_cells, seed, id_col=id_col, vec_col=vec_col)
+    cents = train_ivf_centroids(
+        embeddings, dim, n_cells, seed, id_col=id_col, vec_col=vec_col, n_vectors=n
+    )
     assigned = with_ivf_cells(embeddings, cents, n_probe, vec_col)
     index = assigned.select(
         F.col("_cells")[0].alias("cell"),

@@ -35,11 +35,17 @@ sys.path.insert(0, REPO)
 # local stand-in for the 10^10-URL regime, where a round is millions
 # of URLs and fixed round overhead is noise; 8 × 20k-URL rounds
 # over-represent per-round fixed costs by ~100× vs the target scale.
-N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "64000"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "24000"))
 N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "1280"))
 N_IMAGES = int(os.environ.get("SCALING_N_IMAGES", "1500"))
 BASE_BUDGET = int(os.environ.get("SCALING_BUDGET", "512"))
 MAX_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "8"))
+# Round tick length: politeness budget per host = round_ms / crawl_delay
+# (clamped to BASE_BUDGET).  A minute-long tick keeps crawl_delay
+# honored while letting a round carry cluster-scale work; the default
+# 600 ms tick caps delay-500ms hosts at ONE url per round, which makes
+# every round overhead-bound at any corpus size.
+ROUND_MS = int(os.environ.get("SCALING_ROUND_MS", "60000"))
 
 
 def run_level(cpus: int, work_dir: str) -> dict:
@@ -73,7 +79,9 @@ def run_level(cpus: int, work_dir: str) -> dict:
         web_pages=spark.read.parquet(os.path.join(fix, "web_pages")),
         web_images=spark.read.parquet(os.path.join(fix, "web_images")),
         robots=spark.read.parquet(os.path.join(fix, "robots")),
-        config=CrawlConfig(base_budget=BASE_BUDGET, max_rounds=MAX_ROUNDS),
+        config=CrawlConfig(
+            base_budget=BASE_BUDGET, max_rounds=MAX_ROUNDS, round_ms=ROUND_MS
+        ),
     )
     seeds = spark.read.parquet(os.path.join(fix, "seeds"))
 

@@ -20,7 +20,11 @@ repo, stage = sys.argv[1], sys.argv[2]
 shutil.make_archive(f"{stage}/crawler_spark", "zip", repo, "crawler_spark")
 EOF
 
+# --driver-memory must be a launch flag: by submit time the JVM is
+# already up, so spark.driver.memory set inside the app is ignored
+# (the in-process pyspark launcher reads it from the builder instead).
 exec spark-submit \
   --master "${SPARK_MASTER:-local[32]}" \
+  --driver-memory "${SPARK_DRIVER_MEM:-24g}" \
   --py-files "$STAGE/crawler_spark.zip" \
   "$@"
