@@ -437,6 +437,13 @@ def q_embedding_lsh_topk(spark, sf):
     return SIM.topk_lsh(emb, query_vec_id=0, dim=64, k=10, n_vectors=n)
 
 
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (exact all-pairs kernel with a
+    DuckDB oracle; the at-scale variant is the IVF-bucketed path of the
+    same function, recall-pinned in tests)."""
+    return SIM.cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+
+
 def q_knn_ivf(spark, sf):
     """IVF-partitioned approximate 3-NN for every vector — the at-scale
     kNN plan (no global crossJoin; ~2√N candidates per vector).
@@ -502,6 +509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_topk": q_embedding_topk,
     "q_knn_per_vec": q_knn_per_vec,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_embedding_neardup": q_embedding_neardup,
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
 }
@@ -726,6 +734,15 @@ ORACLES: dict[str, str] = {
                       WHERE vec_id = 0)), 4) AS sim
         FROM embeddings WHERE vec_id <> 0
         ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    "q_embedding_neardup": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+        ORDER BY a, b
     """,
     "q_knn_per_vec": """
         WITH sims AS (

@@ -222,6 +222,73 @@ def pairwise_topk_bruteforce(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf: bool = False,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    seed: int = 42,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
+    rounded cosine ≥ threshold.
+
+    ``ivf=False``: exact all-pairs — the oracle-checkable kernel for
+    small corpora.  ``ivf=True``: candidates restricted to pairs
+    sharing a probed IVF cell (the scale path — near-dups are by
+    definition close, so cell-local search loses only boundary pairs;
+    recall pinned in tests).  Each unordered pair is scored at most
+    once per probed home cell and deduplicated by (a, b).
+    """
+    if not ivf:
+        other = embeddings.select(
+            F.col(id_col).alias("b"), F.col(vec_col).alias("_bvec")
+        )
+        pairs = (
+            embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_avec"))
+            .crossJoin(other)
+            .filter(F.col("a") < F.col("b"))
+        )
+    else:
+        import math
+
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        if n_cells is None:
+            n_cells = max(1, int(math.sqrt(n)))
+        first = embeddings.select(F.size(vec_col)).first()
+        cents = train_ivf_centroids(
+            embeddings, int(first[0]), n_cells, seed, id_col=id_col, vec_col=vec_col,
+            n_vectors=n,
+        )
+        assigned = with_ivf_cells(embeddings, cents, n_probe, vec_col)
+        index = assigned.select(
+            F.col("_cells")[0].alias("cell"),
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("_bvec"),
+        )
+        queries = assigned.select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("_avec"),
+            F.explode("_cells").alias("cell"),
+        )
+        pairs = (
+            queries.join(index, "cell")
+            .filter(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    return (
+        pairs.select(
+            "a",
+            "b",
+            F.round(cosine_col(F.col("_avec"), F.col("_bvec")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
 # ------------------------------------------------------------------ IVF ANN
 def train_ivf_centroids(
     embeddings: DataFrame,

@@ -161,6 +161,23 @@ def test_ivf_knn_recall_vs_bruteforce(corpus):
     assert recall >= 0.8, f"pair recall = {recall}"
 
 
+def test_cosine_neardup_ivf_recall(corpus):
+    """IVF-bucketed near-dup pairs recover ≥0.8 of the exact pair set
+    (near-dups are cell-local by construction)."""
+    exact = {
+        (r["a"], r["b"])
+        for r in SIM.cosine_neardup_pairs(corpus, threshold=0.6).collect()
+    }
+    assert exact, "fixture produced no near-dup pairs — threshold too high"
+    approx = {
+        (r["a"], r["b"])
+        for r in SIM.cosine_neardup_pairs(corpus, threshold=0.6, ivf=True).collect()
+    }
+    assert not (approx - exact), "IVF path produced a pair the exact path lacks"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"near-dup pair recall = {recall}"
+
+
 def test_ivf_deterministic_across_runs(corpus):
     a = sorted(map(tuple, SIM.pairwise_topk_ivf(corpus, k=3).collect()))
     b = sorted(map(tuple, SIM.pairwise_topk_ivf(corpus, k=3).collect()))
