@@ -1,0 +1,70 @@
+"""Physical-plan property pins — the scale guarantees that don't show
+up in row-level correctness tests:
+
+- the politeness robots join is a broadcast join (small dim side);
+- no per-row Python UDFs or RDD usage anywhere in the package (W5 /
+  input_hint: vectorized pandas/Arrow UDFs only);
+- scalar extraction stays inside whole-stage codegen (JVM expressions,
+  not Python).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_per_row_python_or_rdd_in_package():
+    """The input_hint rule, pinned: vectorized pandas/Arrow UDFs only —
+    no row-at-a-time Python UDFs, no RDD API drops."""
+    root = pathlib.Path(__file__).resolve().parents[1] / "crawler_spark"
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        text = p.read_text()
+        if re.search(r"\bF\.udf\s*\(|\budf\s*\(\s*lambda|\.rdd\b|sparkContext\.parallelize", text):
+            offenders.append(str(p))
+    assert not offenders, f"per-row Python / RDD usage in: {offenders}"
+
+
+def test_politeness_robots_join_is_broadcast(spark):
+    from crawler_spark.operators.politeness import rank_with_budget
+
+    frontier = spark.createDataFrame(
+        [("https://h0/a", 1, "h0", 0, 0)],
+        "url: string, url_hash: long, host: string, page: int, priority: int",
+    )
+    robots = spark.createDataFrame(
+        [("h0", "", 100)], "host: string, disallow_prefix: string, crawl_delay_ms: int"
+    )
+    plan = _plan(rank_with_budget(frontier, robots))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_scalar_extraction_is_codegen(spark):
+    """ExtractNumber/TakeChractersBefore compile to JVM expressions under
+    WholeStageCodegen — no Python evaluation node in the plan."""
+    from crawler_spark.operators.extract import extract_number, take_before
+
+    df = spark.createDataFrame([("1 100 zł /mc", "x.html#a")], "p: string, l: string")
+    plan = _plan(df.select(extract_number("p"), take_before("l", ".html")))
+    # "*(n)" node prefix == inside a WholeStageCodegen span
+    assert "*(1) Project" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anti_join_dedup_no_cartesian(spark):
+    """The URL-seen anti-join must plan as a hash/broadcast anti join,
+    never a nested-loop/cartesian product."""
+    from crawler_spark.operators import dedup as D
+
+    cands = spark.range(1000).select(F.col("id").alias("url_hash"))
+    seen = spark.range(500).select(F.col("id").alias("url_hash"))
+    plan = _plan(D.anti_join_seen(cands, seen, None))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
