@@ -6,65 +6,92 @@ increasing_id`` or partition order.  A naive
 ``row_number().over(Window.orderBy(...))`` is deterministic but pulls
 the whole dataset through ONE partition — a non-starter at 10^10 rows.
 
-``global_sequence`` computes the same dense 1..N numbering scalably:
+``global_sequence`` computes the same dense 1..N numbering scalably
+and DETERMINISTICALLY:
 
-1. ``repartitionByRange`` on the sort keys — partitions hold ordered,
-   non-overlapping key ranges (partition i's keys all sort before
-   partition i+1's);
-2. per-partition ``row_number`` over a window partitioned by
-   ``spark_partition_id()`` — embarrassingly parallel;
-3. add each partition's cumulative predecessor count (a tiny P-row
-   aggregate, broadcast-joined back).
+1. one aggregation derives exact (min, max) of the final sort key;
+2. every row gets a value-range bucket of the final key —
+   ``floor((key - min) / span * B)`` — a fixed, order-preserving,
+   sampling-free binning (this is the load-bearing choice:
+   ``repartitionByRange`` SAMPLES with an RDD-id-derived seed, and
+   under AQE the counts job and the numbering job re-plan and
+   re-sample independently, so its boundaries are not stable across
+   actions, sessions, or cluster sizes — observed as divergent
+   dispatch fingerprints between local[8] and local[32]);
+3. exact per-(prefix-keys, bucket) counts → cumulative offsets on the
+   driver (a combos × B row collect — tiny for crawl keys);
+4. per-bucket ``row_number`` window + broadcast offset join.
 
-Correctness requires the key tuple to be a total order (unique) —
-callers pass (priority, page, url_hash) where url_hash is unique
-within a dispatch set.  Pinned invariant: result is independent of the
-input's partitioning (tests/test_ranking.py runs it at 1, 4 and 13
-partitions and compares bit-for-bit).
+Correctness requires the key tuple to be a total order (unique final
+key within (prefix, bucket) — callers pass (priority, page, url_hash)
+where url_hash is unique within a dispatch set).  Uniformly-hashed
+final keys (url_hash) spread evenly over buckets; a low-cardinality
+final key degrades parallelism (fewer distinct buckets), never
+correctness.  Pinned invariants: identical output at any partitioning
+and any ``buckets``/parallelism (tests/test_operators.py), and
+bit-equal to the single-window path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def global_sequence(
     df: DataFrame,
     keys: list[str],
     seq_col: str = "seq",
-    num_partitions: int | None = None,
+    num_partitions: int | None = None,  # kept for API compat; unused
     small: bool = False,
+    buckets: int = 256,
 ) -> DataFrame:
     """``small=True``: the caller knows the frame is driver-window-sized
-    (≲10^6 rows — e.g. from the previous round's committed row count),
+    (≲10^5 rows — e.g. from the previous round's committed row count),
     so a single-partition window is used: same numbering, zero extra
-    jobs (it fuses into the downstream stage) instead of the ranged
-    path's sample + count jobs.  Results are bit-identical."""
-    sc = df.sparkSession
+    jobs (it fuses into the downstream stage) instead of the bucketed
+    path's two aggregation jobs.  Results are bit-identical."""
+    spark = df.sparkSession
     if small:
         w = Window.orderBy(*[F.col(k).asc() for k in keys])
         return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
-    if num_partitions is None:
-        num_partitions = int(sc.conf.get("spark.sql.shuffle.partitions"))
 
-    ranged = df.repartitionByRange(num_partitions, *[F.col(k) for k in keys]).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # One extra narrow job: per-partition counts → cumulative offsets.
-    counts = ranged.groupBy("_pid").count().collect()
-    counts.sort(key=lambda r: r["_pid"])
-    offsets, acc = {}, 0
+    pre, last = keys[:-1], keys[-1]
+    mn, mx = df.agg(F.min(last), F.max(last)).first()
+    if mn is None or mn == mx:
+        bkt = F.lit(0)
+    else:
+        span = float(mx) - float(mn)
+        # double-precision binning of an integer key is monotone
+        # non-decreasing, which is all the bucketing needs
+        bkt = F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(last).cast("double") - float(mn)) / span * buckets
+                ),
+            ),
+        ).cast("int")
+    b = df.withColumn("_bkt", bkt)
+
+    counts = b.groupBy(*pre, "_bkt").count().collect()
+    counts.sort(key=lambda r: tuple([r[k] for k in pre] + [r["_bkt"]]))
+    rows, acc = [], 0
     for r in counts:
-        offsets[r["_pid"]] = acc
+        rows.append(tuple([r[k] for k in pre] + [r["_bkt"], acc]))
         acc += r["count"]
-    off_df = sc.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid: int, _off: long"
-    )
-    w = Window.partitionBy("_pid").orderBy(*[F.col(k).asc() for k in keys])
+    fields = [df.schema[k] for k in pre] + [
+        T.StructField("_bkt", T.IntegerType(), False),
+        T.StructField("_off", T.LongType(), False),
+    ]
+    off_df = spark.createDataFrame(rows, T.StructType(fields))
+
+    w = Window.partitionBy(*pre, "_bkt").orderBy(F.col(last).asc())
     return (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
+        b.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), [*pre, "_bkt"])
         .withColumn(seq_col, (F.col("_rn") + F.col("_off")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_bkt", "_rn", "_off")
     )

@@ -247,3 +247,31 @@ def test_global_sequence_partition_invariant(spark):
     ordered = [h for _, _, h in sorted(rows)]
     for i, h in enumerate(ordered, start=1):
         assert outs[0][h] == i
+
+
+def test_global_sequence_bucketed_equals_truth_at_scale(spark):
+    """Regression pin for the repartitionByRange corruption: the old
+    ranged path sampled boundaries per-action (RDD-id-seeded), so under
+    AQE the counts job and numbering job disagreed at ≳10^5 rows and the
+    'offsets' were wrong — small fixtures hid it because the sampler
+    sees the whole input.  The bucketed path must equal the single-
+    window truth exactly, at any buckets/partitioning."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(120_000).select(
+        (F.col("id") % 3).cast("int").alias("priority"),
+        (F.col("id") % 11).cast("int").alias("page"),
+        F.xxhash64(F.col("id")).alias("url_hash"),
+    )
+    truth = {
+        r["url_hash"]: r["seq"]
+        for r in global_sequence(df, ["priority", "page", "url_hash"], small=True).collect()
+    }
+    for nparts, buckets in ((4, 256), (13, 32)):
+        got = {
+            r["url_hash"]: r["seq"]
+            for r in global_sequence(
+                df.repartition(nparts), ["priority", "page", "url_hash"], buckets=buckets
+            ).collect()
+        }
+        assert got == truth, f"bucketed numbering differs at {nparts=} {buckets=}"
