@@ -183,7 +183,10 @@ class CrawlEngine:
         fetched = P.salt_partition(
             FE.fetch_closed_world(dispatch, self.web_pages),
             cfg.num_salts,
-            num_partitions=self.spark.sparkContext.defaultParallelism,
+            # 3x cores: finer tasks level stragglers in the decode/verify
+            # stage (measured best at 3-4x; 1x leaves the slowest task
+            # gating the round) while batches stay Arrow-efficient
+            num_partitions=self.spark.sparkContext.defaultParallelism * 3,
         ).persist()
         ok, retry, dead = FE.split_fetch_outcomes(fetched)
 

