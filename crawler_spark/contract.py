@@ -24,7 +24,7 @@ from .functions import similarity as SIM
 from .functions import text as TX
 from .functions.multimodal import attach_synthetic_images, decode_meta
 from .operators.extract import extract_number, take_before, with_page_param
-from .operators.ranking import global_sequence
+from .operators.ranking import SMALL_SEQ_MAX_ROWS, global_sequence
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -275,13 +275,14 @@ def q_order_by(spark, sf):
     import pyarrow.parquet as pq
 
     part = _t(spark, sf, "part").select("p_partkey", "p_size")
-    # small=True below ~10^6 rows: the single-window path fuses into the
-    # downstream stage instead of paying the ranged path's sample+count
-    # jobs (the engine applies the same heuristic, engine.py run_round).
+    # small=True below the shared SMALL_SEQ_MAX_ROWS crossover: the
+    # single-window path fuses into the downstream stage instead of
+    # paying the ranged path's extra jobs (the engine applies the same
+    # constant, engine.py run_round).
     # Row count from the parquet footer — driver-side, no Spark job.
     # Bit-identical numbering either way (pinned in test_operators).
     n = pq.read_metadata(f"{sf}/part.parquet").num_rows
-    return global_sequence(part, ["p_size", "p_partkey"], small=n < 1_000_000).select(
+    return global_sequence(part, ["p_size", "p_partkey"], small=n < SMALL_SEQ_MAX_ROWS).select(
         "p_partkey", "p_size", "seq"
     )
 

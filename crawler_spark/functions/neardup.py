@@ -265,11 +265,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_neardup_pairs(
-    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ t, banded for scale:
     split the 64-bit sig into 4×16-bit bands; d≤3 ⇒ at least one band
     identical (pigeonhole) → equi-join per band, verify bit_count(xor).
+
+    Skew guard (``max_bucket``): short/degenerate docs concentrate in a
+    few band values (0x0000/0xFFFF chunks), and a band bucket of n docs
+    contributes O(n²) join pairs — one hot bucket is the whole job's
+    runtime at corpus scale.  Buckets larger than ``max_bucket`` are
+    dropped from BOTH join sides before the self-join (the hot set is
+    tiny → broadcast anti-join).  A pair is lost only if EVERY band the
+    two docs agree on is hot — for real corpora that means degenerate
+    near-empty docs, which exact dedup upstream removes anyway.
+    ``max_bucket=None`` disables the guard (exact banding).
     """
     banded = sigs.select(
         F.col(id_col),
@@ -286,6 +299,14 @@ def simhash_neardup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "chunk")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "chunk")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "chunk"], "left_anti")
     return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "chunk"])

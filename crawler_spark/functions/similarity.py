@@ -240,8 +240,13 @@ def cosine_neardup_pairs(
     small corpora.  ``ivf=True``: candidates restricted to pairs
     sharing a probed IVF cell (the scale path — near-dups are by
     definition close, so cell-local search loses only boundary pairs;
-    recall pinned in tests).  Each unordered pair is scored at most
-    once per probed home cell and deduplicated by (a, b).
+    recall pinned in tests).  A pair qualifies when EITHER member
+    probes the other's home cell (keeping only the lower-id→higher-id
+    direction would silently drop one-directional boundary candidates),
+    so ids are canonicalized with least/greatest after the cell join
+    and deduplicated by (a, b) — cosine is symmetric, and ``dot_col``
+    evaluates identically under operand swap (elementwise products in
+    index order), so the kept direction does not affect the score.
     """
     if not ivf:
         other = embeddings.select(
@@ -275,7 +280,13 @@ def cosine_neardup_pairs(
         )
         pairs = (
             queries.join(index, "cell")
-            .filter(F.col("a") < F.col("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                "_avec",
+                "_bvec",
+            )
             .dropDuplicates(["a", "b"])
         )
     return (
@@ -308,6 +319,11 @@ def train_ivf_centroids(
     on the id, not ``DataFrame.sample`` — deterministic across
     partitioning/parallelism.
 
+    Vectors are L2-normalized before k-means (the standard cosine-IVF
+    setup: nearest-centroid-by-L2 on the unit sphere ranks exactly by
+    cosine, so the quantizer's geometry matches the scoring metric
+    instead of being biased by vector norms).
+
     Returns an (n_cells, dim) float64 centroid matrix (deterministic
     for a given seed: seeded k-means++ init, Lloyd iterations, empty
     cells reseeded to the farthest point).
@@ -323,6 +339,7 @@ def train_ivf_centroids(
             .collect()
         )
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     n_cells = min(n_cells, len(x))
 
@@ -336,15 +353,20 @@ def train_ivf_centroids(
         d2 = np.minimum(d2, ((x - cents[i]) ** 2).sum(axis=1))
 
     for _ in range(iters):
-        # Lloyd step; ||x-c||² = ||x||² - 2x·c + ||c||² (||x||² constant per row)
+        # Lloyd step; ||x-c||² = ||x||² - 2x·c + ||c||² (||x||² constant per row,
+        # so it can be dropped for the per-row argmin across cells …)
         dists = -2.0 * (x @ cents.T) + (cents**2).sum(axis=1)[None, :]
         assign = dists.argmin(axis=1)
+        # … but NOT for the cross-row farthest-point comparison below,
+        # which needs the full squared distance per row
+        if not np.isin(np.arange(n_cells), assign).all():
+            full_d2 = dists.min(axis=1) + (x**2).sum(axis=1)
         for c in range(n_cells):
             m = assign == c
             if m.any():
                 cents[c] = x[m].mean(axis=0)
             else:
-                cents[c] = x[dists.min(axis=1).argmax()]
+                cents[c] = x[full_d2.argmax()]
     return cents
 
 
@@ -357,13 +379,16 @@ def with_ivf_cells(
 ) -> DataFrame:
     """Append the top-``n_probe`` nearest centroid ids (array<int>,
     nearest first).  One numpy matmul per Arrow batch against the
-    broadcast centroid matrix."""
+    broadcast centroid matrix.  Vectors are L2-normalized before the
+    distance computation so assignment ranks exactly by cosine against
+    the unit-sphere centroids from :func:`train_ivf_centroids`."""
     cents = centroids.astype(np.float64)
     n_probe = min(n_probe, len(cents))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         dists = -2.0 * (m @ cents.T) + (cents**2).sum(axis=1)[None, :]
         # argpartition + stable ordering of the probe set (ties by cell id)
         idx = np.argsort(dists, axis=1, kind="stable")[:, :n_probe]

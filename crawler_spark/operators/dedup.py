@@ -166,6 +166,13 @@ FILTER_STATE_SCHEMA = T.StructType(
         T.StructField("filter", T.BinaryType(), False),
         T.StructField("n_keys", T.LongType(), False),
         T.StructField("capacity", T.LongType(), False),
+        # the partition count the blob was built under: blobs persisted
+        # under a different n_parts cover DIFFERENT key→partition
+        # mappings, so probing them under the current config would
+        # yield false "definitely new" (skipped exact join → double
+        # fetch).  Both probe and update filter on it; nullable so
+        # legacy state (no column) reads as NULL → treated as invalid.
+        T.StructField("n_parts", T.IntegerType(), True),
     ]
 )
 
@@ -189,6 +196,11 @@ def update_seen_filters(
     ``filters_prev``: FILTER_STATE_SCHEMA rows (empty DataFrame on the
     first call).  ``new_seen``: DataFrame with a ``url_hash`` column.
     Returns the complete new state (REWRITE-table semantics).
+
+    Blobs built under a different ``n_parts`` are DROPPED (their
+    key→partition mapping no longer matches) — the engine detects the
+    mismatch via the checkpoint's ``filters_parts`` stat and refolds
+    the FULL seen set on such rounds, so the rebuilt state is complete.
     """
 
     def fold(key, blobs: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
@@ -212,11 +224,12 @@ def update_seen_filters(
                         "filter": _build_filter(h, m_bits),
                         "n_keys": len(h),
                         "capacity": cap,
+                        "n_parts": n_parts,
                     }
                 )
         return pd.DataFrame(rows, columns=[f.name for f in FILTER_STATE_SCHEMA.fields])
 
-    prev_k = filters_prev.groupBy("part_id")
+    prev_k = filters_prev.filter(F.col("n_parts") == F.lit(n_parts)).groupBy("part_id")
     new_k = (
         new_seen.select("url_hash")
         .withColumn("part_id", part_id_col("url_hash", n_parts))
@@ -236,7 +249,15 @@ def anti_join_seen_partitioned(
     Candidates shuffle once on part_id to meet their partition's blobs
     (cogroup); only "maybe seen" survivors pay the exact anti-join.
     Logical result identical to the plain anti-join (pinned in tests).
+
+    Blobs persisted under a different ``n_parts`` (or legacy state with
+    none recorded) are filtered out up front: their key→partition
+    mapping doesn't match the current config, so probing them would
+    yield false "definitely new".  Partitions left with no valid blobs
+    fall into the conservative ``_maybe=True`` default below — i.e.
+    the exact anti-join.
     """
+    filters_state = filters_state.filter(F.col("n_parts") == F.lit(n_parts))
     out_schema = T.StructType(
         list(candidates.schema.fields) + [T.StructField("_maybe", T.BooleanType(), False)]
     )

@@ -18,8 +18,12 @@ and DETERMINISTICALLY:
    re-sample independently, so its boundaries are not stable across
    actions, sessions, or cluster sizes — observed as divergent
    dispatch fingerprints between local[8] and local[32]);
-3. exact per-(prefix-keys, bucket) counts → cumulative offsets on the
-   driver (a combos × B row collect — tiny for crawl keys);
+3. exact per-(prefix-keys, bucket) counts → cumulative offsets via a
+   running-sum window over the (combos × B row — tiny) counts frame,
+   computed IN Spark so prefix-key ordering is Spark's own (binary
+   UTF-8 for strings, nulls first) — a driver-side Python sort of the
+   same tuples would raise on NULL keys and can order non-ASCII
+   strings differently;
 4. per-bucket ``row_number`` window + broadcast offset join.
 
 Correctness requires the key tuple to be a total order (unique final
@@ -36,7 +40,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+# Ranged-vs-single-window crossover (shared by engine.py and
+# contract.py — two call sites previously encoded different guesses).
+# Measured on this box (local[32], int keys): the single-partition
+# window sorts 10^5 rows in ~0.1 s and 10^6 rows in ~0.9 s, while the
+# bucketed path's two extra jobs cost ~0.6-0.8 s of driver/job latency
+# regardless of size — so the crossover sits near 10^6 rows; below it
+# the one-task sort is cheaper AND fuses into the downstream stage.
+SMALL_SEQ_MAX_ROWS = 1_000_000
 
 
 def global_sequence(
@@ -52,7 +64,6 @@ def global_sequence(
     so a single-partition window is used: same numbering, zero extra
     jobs (it fuses into the downstream stage) instead of the bucketed
     path's two aggregation jobs.  Results are bit-identical."""
-    spark = df.sparkSession
     if small:
         w = Window.orderBy(*[F.col(k).asc() for k in keys])
         return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
@@ -76,17 +87,17 @@ def global_sequence(
         ).cast("int")
     b = df.withColumn("_bkt", bkt)
 
-    counts = b.groupBy(*pre, "_bkt").count().collect()
-    counts.sort(key=lambda r: tuple([r[k] for k in pre] + [r["_bkt"]]))
-    rows, acc = [], 0
-    for r in counts:
-        rows.append(tuple([r[k] for k in pre] + [r["_bkt"], acc]))
-        acc += r["count"]
-    fields = [df.schema[k] for k in pre] + [
-        T.StructField("_bkt", T.IntegerType(), False),
-        T.StructField("_off", T.LongType(), False),
-    ]
-    off_df = spark.createDataFrame(rows, T.StructType(fields))
+    # running sum over the global (pre…, _bkt) order; the counts frame
+    # is combos × B rows, so the single-partition window is trivial
+    w_off = Window.orderBy(
+        *[F.col(k).asc() for k in pre], F.col("_bkt").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        b.groupBy(*pre, "_bkt")
+        .count()
+        .withColumn("_off", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
+        .drop("count")
+    )
 
     w = Window.partitionBy(*pre, "_bkt").orderBy(F.col(last).asc())
     return (

@@ -156,10 +156,11 @@ def kernel_ceiling(duration: float = 6.0) -> dict:
     import multiprocessing as mp
 
     def burn(q, dur, cpu_set):
+        pinned = True
         try:
             os.sched_setaffinity(0, cpu_set)
-        except OSError:
-            pass
+        except (OSError, AttributeError):
+            pinned = False
         from crawler_spark import images as I
 
         px = I.gen_pixels(42, 7, 32, 32)
@@ -171,22 +172,68 @@ def kernel_ceiling(duration: float = 6.0) -> dict:
             I.psnr(dec, I.gen_pixels(42, 7, 32, 32))
             I.phash64(dec)
             n += 1
-        q.put(n)
+        q.put((n, pinned))
 
+    # CPU sets derived from the actual host size (a hardcoded 24-31/0-31
+    # silently runs unpinned on any non-32-vCPU box, making the derived
+    # ceiling meaningless without warning): the small leg takes the TOP
+    # eighth-of-host-sized slice (low cores take host interrupt work and
+    # are episodically slower), the big leg spans the whole host.
+    ncpu = os.cpu_count() or 1
     out = {}
-    for k, cpu_set in ((8, set(range(24, 32))), (32, set(range(32)))):
+    all_pinned = True
+    for k, cpu_set in (
+        (8, set(range(max(0, ncpu - 8), ncpu))),
+        (32, set(range(min(32, ncpu)))),
+    ):
         best = 0.0
         for _ in range(3):  # episodic per-core slowdowns → best of 3
             q = mp.Queue()
             ps = [mp.Process(target=burn, args=(q, duration, cpu_set)) for _ in range(k)]
             [p.start() for p in ps]
-            total = sum(q.get() for _ in ps)
+            got = [q.get() for _ in ps]
+            total = sum(n for n, _ in got)
+            all_pinned = all_pinned and all(p for _, p in got)
             [p.join() for p in ps]
             best = max(best, total / duration)
         out[f"rows_per_sec_{k}"] = round(best, 1)
     out["kernel_scaling_ratio"] = round(out["rows_per_sec_32"] / out["rows_per_sec_8"], 3)
     out["kernel_scaling_efficiency"] = round(out["kernel_scaling_ratio"] / 4.0, 3)
+    out["affinity_applied"] = all_pinned
+    if not all_pinned:
+        sys.stderr.write(
+            "scaling_bench: WARNING — CPU affinity could not be applied; "
+            "kernel ceiling measured unpinned\n"
+        )
     return out
+
+
+def _cpu_jiffies() -> dict[int, tuple[int, int]]:
+    """Per-cpu (busy, total) jiffies from /proc/stat."""
+    out = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3].isdigit():
+                parts = line.split()
+                cpu = int(parts[0][3:])
+                vals = [int(v) for v in parts[1:]]
+                idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+                out[cpu] = (sum(vals) - idle, sum(vals))
+    return out
+
+
+def _cpu_util(before: dict, after: dict, cores: range) -> float:
+    """Mean utilization of ``cores`` between two _cpu_jiffies samples —
+    legs run one at a time, so system-wide busy on the pinned cores IS
+    the leg's usage.  The compute-boundness evidence the north-rule
+    comparison needs: a local[8] leg under ~90% busy is overhead-bound
+    and its scaling ratio meaningless."""
+    busy = tot = 0
+    for c in cores:
+        if c in before and c in after:
+            busy += after[c][0] - before[c][0]
+            tot += after[c][1] - before[c][1]
+    return round(busy / tot, 3) if tot else float("nan")
 
 
 def main() -> int:
@@ -213,7 +260,7 @@ def main() -> int:
     # over SCALING_REPEATS rounds and take the MINIMUM wall per level —
     # the standard noisy-host estimator of true cost; fingerprints must
     # agree across every run.
-    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(repeats):
         for cpus in (8, 32):
@@ -235,12 +282,21 @@ def main() -> int:
                 ]
                 env_master = {}
             if shutil.which("taskset"):
-                # the 8-core leg avoids vCPUs 0-7: the low cores take
-                # host interrupt work and are episodically 2-4x slower
+                # the 8-core leg avoids the LOW vCPUs: they take host
+                # interrupt work and are episodically 2-4x slower
                 # (measured per-window with the decode kernel); the
-                # 32-core leg necessarily spans all of them
-                cores = "24-31" if cpus == 8 else f"0-{cpus - 1}"
+                # 32-core leg necessarily spans all of them.  Ranges are
+                # derived from the host size, not hardcoded.
+                ncpu = os.cpu_count() or cpus
+                if cpus == 8:
+                    core_range = range(max(0, ncpu - 8), ncpu)
+                else:
+                    core_range = range(0, min(cpus, ncpu))
+                cores = f"{core_range.start}-{core_range.stop - 1}"
                 cmd = ["taskset", "-c", cores] + cmd
+            else:
+                core_range = range(os.cpu_count() or cpus)
+            jiffies0 = _cpu_jiffies()
             p = subprocess.run(
                 cmd,
                 capture_output=True,
@@ -248,11 +304,14 @@ def main() -> int:
                 cwd=REPO,
                 env={**os.environ, **env_master},
             )
+            util = _cpu_util(jiffies0, _cpu_jiffies(), core_range)
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
             if not line:
                 sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
                 raise SystemExit(f"worker local[{cpus}] failed")
-            runs[cpus].append(json.loads(line[-1][len("RESULT ") :]))
+            rec = json.loads(line[-1][len("RESULT ") :])
+            rec["cpu_util_pinned_cores"] = util
+            runs[cpus].append(rec)
 
     r8 = min(runs[8], key=lambda r: r["wall_sec"])
     r32 = min(runs[32], key=lambda r: r["wall_sec"])
