@@ -32,9 +32,14 @@ Physical-plan discipline (the part that matters at 10^10 URLs):
   partition count after the fetch join: its cost is per row, not per
   byte, and AQE's byte-based coalescing would otherwise fold a
   politeness-bounded (byte-small) round into one task;
-- the frontier is an incremental add/del delta log over a periodically
-  compacted base snapshot (O(delta) writes per round, not
-  O(|frontier|) — sinks.read_frontier);
+- the frontier is split into a per-host top-K HEAD (the working set
+  the politeness window ranks each round — O(hosts × K), rewritten per
+  round) and a TAIL (base snapshot + demotion add-deltas + dispatch
+  del-deltas, sinks.read_frontier) that is read and re-split only at
+  compaction refills — steady-state rounds never read, shuffle, or
+  write anything O(|frontier|).  K = base_budget × compact cadence is
+  exactly sufficient for no host to starve between refills, so the
+  dispatch order equals the full-frontier spec (golden-pinned);
 - small state tables (dispatch_log, url_seen, dead, metrics) are
   written with a file count derived from row counts — no 32-file
   directories for 100-row rounds, no single-file bottleneck at scale;
@@ -61,7 +66,7 @@ from .operators import fetch as FE
 from .operators import frontier as FR
 from .operators import politeness as P
 from .operators import robots as R
-from .operators.ranking import global_sequence
+from .operators.ranking import SMALL_SEQ_MAX_ROWS, global_sequence
 from .sinks import StateStore
 
 
@@ -130,10 +135,37 @@ class CrawlEngine:
         allowed, blocked = R.split_robots(cand, self.robots)
         allowed = FR.dedup_within(allowed).persist()
         n_allowed, n_blocked = allowed.count(), blocked.count()
-        self.store.write_partition("frontier_base", 0, allowed, n_files=_n_files(n_allowed))
+        # head/tail split from round 0: the per-host top-K working set
+        # lives in the (small, rewritten) head table; everything else in
+        # the base+delta tail, consulted only at compaction refills
+        head, tail = FR.split_head(allowed, self._head_k())
+        head = head.persist()
+        n_head = head.count()
+        self.store.write_partition("frontier_head", 0, head, n_files=_n_files(n_head))
+        self.store.write_partition(
+            "frontier_base", 0, tail, n_files=_n_files(n_allowed - n_head)
+        )
         self._write_metrics(0, n_blocked_robots=n_blocked, message="bootstrap")
-        self.store.commit(0, {"frontier_rows": n_allowed, "seen_count": 0})
+        self.store.commit(
+            0,
+            {
+                "frontier_rows": n_allowed,
+                "seen_count": 0,
+                "head_rows": n_head,
+                "head_k": self._head_k(),
+            },
+        )
+        head.unpersist()
         allowed.unpersist()
+
+    def _head_k(self) -> int:
+        """Per-host head size.  The budget dispatches at most
+        ``base_budget`` rows per host per round and the head is refilled
+        from the tail every ``frontier_compact_every`` rounds, so
+        ``base_budget × frontier_compact_every`` rows per host are
+        exactly sufficient to never starve a host between refills
+        (starvation would deviate from the reference crawl order)."""
+        return self.cfg.base_budget * self.cfg.frontier_compact_every
 
     # ------------------------------------------------------------ one round
     def run_round(self, round_no: int) -> dict:
@@ -157,16 +189,46 @@ class CrawlEngine:
         st = self.store
         prev_stats = (st.committed() or {}).get("stats", {})
         seen_count_prev = int(prev_stats.get("seen_count", 0))
-        # dispatch ≤ frontier; below ~10^5 rows the single-window
-        # sequencing path skips the ranged path's sample+count jobs —
-        # above it, the one-task sort of the whole dispatch set costs
-        # more serial time than the ranged path's two extra (parallel)
-        # jobs.  Numbering is bit-identical either way (pinned).
-        small_dispatch = int(prev_stats.get("frontier_rows", 0)) < 100_000
-        frontier = st.read_frontier(S.FRONTIER)
+        total_prev = int(prev_stats.get("frontier_rows", 0))
+        head_prev_rows = int(prev_stats.get("head_rows", total_prev))
+        head_k = self._head_k()
+        compact = round_no % cfg.frontier_compact_every == 0
+        # dispatch ≤ head; below the measured crossover the
+        # single-window sequencing path skips the ranged path's extra
+        # jobs — above it, the one-task sort of the whole dispatch set
+        # costs more serial time than the ranged path's two extra
+        # (parallel) jobs.  Numbering is bit-identical either way
+        # (pinned); the constant is shared with contract.q_order_by.
+        small_dispatch = head_prev_rows < SMALL_SEQ_MAX_ROWS
+
+        # Steady-state rounds touch ONLY the head (per-host top-K
+        # working set, O(hosts × K)) — never the full frontier.  The
+        # tail (base snapshot + demotion deltas) is read once per
+        # compaction cycle, at refill.  head_k sizing guarantees a
+        # host's head cannot run dry between refills under a stable
+        # config; the guard below covers config changes across resumes
+        # (smaller budget/cadence → stored head under-sized) by forcing
+        # an immediate refill + compaction.
+        head = st.read("frontier_head", S.FRONTIER, rewrite=True)
+        tail_live = None
+        need_refill = prev_stats.get("head_k") != head_k or (
+            head_prev_rows == 0 and total_prev > 0
+        )
+        if need_refill:
+            # the refill pool = stored head ∪ reconstructed tail; the
+            # WHOLE pool (not just the tail) feeds the end-of-round
+            # compaction below — rows of the stored head that miss the
+            # re-sized top-K must flow back into the tail, not vanish.
+            # (Head copies that also enter the carry are folded by the
+            # compaction's dedup_keys; dispatched ones by the anti-join.)
+            tail_live = FR.dedup_keys(
+                head.unionByName(st.read_frontier(S.FRONTIER))
+            ).persist()
+            head, _ = FR.split_head(tail_live, head_k)
+            compact = True  # rewrite base+head consistently at round end
 
         ranked = P.rank_with_budget(
-            frontier, self.robots, cfg.base_budget, cfg.round_ms
+            head, self.robots, cfg.base_budget, cfg.round_ms
         ).persist()
         dispatch = global_sequence(
             ranked.filter(F.col("_dispatch")).drop("_dispatch"),
@@ -211,7 +273,19 @@ class CrawlEngine:
         new_seen = ok.select("url_hash", F.lit(round_no).alias("first_round"))
         seen_all = seen_prev.unionByName(new_seen)
 
-        use_filters = cfg.use_bloom and seen_count_prev >= cfg.bloom_min_keys
+        # filter state persisted under a different bloom_parts covers a
+        # different key→partition mapping: probing it yields false
+        # "definitely new" (double fetch).  The checkpoint records the
+        # partition count the state was last written under; a mismatch
+        # (or legacy state with none recorded while filters exist)
+        # degrades this round to the exact anti-join and refolds the
+        # FULL seen set into a clean state below (dedup.py drops the
+        # mismatched blobs).
+        stored_parts = prev_stats.get("filters_parts")
+        state_valid = stored_parts is not None and int(stored_parts) == cfg.bloom_parts
+        use_filters = (
+            cfg.use_bloom and seen_count_prev >= cfg.bloom_min_keys and state_valid
+        )
         if use_filters:
             # Blobs cover seen_prev only; this round's new_seen is checked
             # by a separate exact delta anti-join (see dedup.py docstring —
@@ -223,30 +297,41 @@ class CrawlEngine:
             )
         else:
             fresh = D.anti_join_seen(exp_allowed, seen_all, None)
-        # Incremental frontier: per-round writes are the DELTA only
-        # (adds = fresh + retry re-adds; dels = dispatched url_hashes),
-        # O(delta) instead of O(|frontier|) per round; a full snapshot
-        # is compacted out every frontier_compact_every rounds to bound
-        # the reconstruction tail (sinks.read_frontier).  fresh is
-        # deduped against the carried-over rows exactly as the rewrite
-        # model's merge did — an already-queued key keeps its row.
+        # Frontier maintenance, O(head + delta) per steady round:
+        # merge the carried-over head rows (deferred + retries) with the
+        # round's fresh candidates, keep the per-host top-K as the new
+        # head, demote the overflow to the tail's add-delta.  Every tail
+        # row sorts after every head row of its host (split invariant),
+        # so the next round's top-b dispatch from the head alone equals
+        # the full frontier's top-b — the crawl order is unchanged.
+        # fresh is deduped against the carried rows exactly as the
+        # rewrite model's merge did (already-queued keeps its row); a
+        # fresh key colliding with a TAIL key is handled lazily — both
+        # copies coexist until the dispatched one's frontier_del kills
+        # the other at reconstruction, or refill's dedup_keys folds them.
         carry = deferred.select(*FR.FRONTIER_COLS).unionByName(
             retry.select(*FR.FRONTIER_COLS)
         )
         fresh_new = fresh.select(*FR.FRONTIER_COLS).join(
             carry.select("url_hash"), "url_hash", "left_anti"
         )
-        delta_adds = (
-            retry.select(*FR.FRONTIER_COLS)
-            .unionByName(fresh_new.select(*FR.FRONTIER_COLS))
-            .persist()
-        )
-        compact = round_no % cfg.frontier_compact_every == 0
-        next_frontier = (
-            carry.unionByName(fresh_new.select(*FR.FRONTIER_COLS)).persist()
-            if compact
-            else None
-        )
+        merged = carry.unionByName(fresh_new.select(*FR.FRONTIER_COLS)).persist()
+        full = None
+        if compact:
+            # refill + compaction: reconstruct the tail (minus this
+            # round's dispatches — a lazily-duplicated copy must not
+            # resurface), fold in the merged head, re-split top-K
+            if tail_live is None:
+                tail_live = st.read_frontier(S.FRONTIER).persist()
+            tail_rem = tail_live.join(
+                dispatch.select("url_hash"), "url_hash", "left_anti"
+            )
+            full = FR.dedup_keys(merged.unionByName(tail_rem)).persist()
+            head_out, base_out = FR.split_head(full, head_k)
+            demote = None
+        else:
+            head_out, demote = FR.split_head(merged, head_k)
+            base_out = None
 
         # schema-metadata sink (A2 + S4's real target): within the round,
         # last-writer-wins per SchemaKey (orchestrator/handler.go:114 —
@@ -295,6 +380,14 @@ class CrawlEngine:
         # written first) pulled the whole chain through a single task.
         n_ok = ok.count()
         _mark("materialize_fetch")
+        # ---- materialize the merged head frame the same way: its two
+        # consumers below are both coalesced writes, and a coalesce over
+        # an UNmaterialized cache serializes the whole merge lineage
+        # into one task.  (Sequential after ok.count(): the merge reads
+        # retry from the fetched cache.)  The count doubles as the exact
+        # file-count/stat input.
+        n_merged = (full if compact else merged).count()
+        _mark("materialize_merge")
 
         # ---- all writes concurrent; every input is cache-backed.
         # expansion_log and frontier may race on the expansion cache —
@@ -325,27 +418,42 @@ class CrawlEngine:
             # serialize the round's dominant compute into one task
             ("results", results, None),
             ("dead", dead.select(*FR.FRONTIER_COLS), 1),
-            ("frontier_add", delta_adds, None),
-            ("frontier_del", dispatch.select("url_hash"), 1),
+            # head rewrite every round: O(hosts × K), the price of never
+            # reading/shuffling the O(|frontier|) tail on steady rounds
+            ("frontier_head", head_out, _n_files(n_merged)),
             ("schemas", new_schemas, 1),
         ]
         if compact:
-            writes.append(("frontier_base", next_frontier, None))
+            # base rewrite folds all pending deltas; no add/del needed
+            writes.append(("frontier_base", base_out, None))
+        else:
+            writes.append(("frontier_add", demote, 1))
+            writes.append(("frontier_del", dispatch.select("url_hash"), 1))
+        wrote_filters = False
         if cfg.use_bloom and (use_filters or seen_count_prev + n_ok >= cfg.bloom_min_keys):
             # maintain the state from the crossing round on (first update
-            # folds the whole seen set once; after that only new keys)
+            # folds the whole seen set once; after that only new keys).
+            # use_filters=False here also covers the n_parts-mismatch
+            # rebuild: the full seen set is refolded into clean state.
             filters_prev = st.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
             fold_in = new_seen if use_filters else seen_all
             writes.append(
                 ("seen_filters", D.update_seen_filters(filters_prev, fold_in, cfg.bloom_parts), 1)
             )
+            wrote_filters = True
+        def _timed_write(table, df, n):
+            t = _time.perf_counter()
+            st.write_partition(table, round_no, df, n)
+            return table, _time.perf_counter() - t
+
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futs = [
-                pool.submit(st.write_partition, table, round_no, df, n)
-                for table, df, n in writes
+                pool.submit(_timed_write, table, df, n) for table, df, n in writes
             ]
-            for f in futs:
-                f.result()
+            per_write = [f.result() for f in futs]
+        if _prof:
+            for table, sec in sorted(per_write, key=lambda x: -x[1]):
+                print(f"    [round {round_no}]   write {table}: {sec:.2f}s", flush=True)
         _mark("writes")
 
         # ---- per-round metrics from the footers of what was written
@@ -354,13 +462,16 @@ class CrawlEngine:
         n_results = st.partition_row_count("results", round_no)
         n_candidates = st.partition_row_count("expansion_log", round_no)
         n_retry = n_dispatched - n_ok - n_dead
-        # delta arithmetic (exact: footers are exact): the frontier
-        # shrinks by the dispatch set and grows by the add delta
-        n_add = st.partition_row_count("frontier_add", round_no)
-        n_fresh = n_add - n_retry
-        n_frontier = (
-            int(prev_stats.get("frontier_rows", 0)) - n_dispatched + n_add
-        )
+        n_head = st.partition_row_count("frontier_head", round_no)
+        if compact:
+            # n_merged counted the full rewritten frontier exactly
+            n_frontier = n_merged
+            n_fresh = n_frontier - (total_prev - n_dispatched + n_retry)
+        else:
+            # merged = carry + fresh_new; carry is arithmetic
+            carry_rows = head_prev_rows - n_dispatched + n_retry
+            n_fresh = n_merged - carry_rows
+            n_frontier = total_prev - n_dispatched + n_retry + n_fresh
         n_blocked = 0
         if n_candidates:
             import pyarrow.compute as pc
@@ -397,12 +508,17 @@ class CrawlEngine:
                 "frontier_rows": n_frontier,
                 "dispatched": n_dispatched,
                 "seen_count": seen_count_prev + n_ok,
+                "filters_parts": cfg.bloom_parts if wrote_filters else stored_parts,
+                "head_rows": n_head,
+                "head_k": head_k,
             },
         )
 
-        to_unpersist = [ranked, dispatch, fetched, expansion, delta_adds]
-        if next_frontier is not None:
-            to_unpersist.append(next_frontier)
+        to_unpersist = [ranked, dispatch, fetched, expansion, merged]
+        if full is not None:
+            to_unpersist.append(full)
+        if tail_live is not None:
+            to_unpersist.append(tail_live)
         for df in to_unpersist:
             df.unpersist()
         return {

@@ -84,3 +84,44 @@ def merge_into_frontier(next_frontier: DataFrame, new_candidates: DataFrame) -> 
         next_frontier.select("url_hash"), "url_hash", "left_anti"
     )
     return next_frontier.select(*FRONTIER_COLS).unionByName(fresh.select(*FRONTIER_COLS))
+
+
+def split_head(frontier: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """(head, tail): per-host top-``k`` rows by the canonical crawl
+    order vs the rest.
+
+    The head is the frontier's working set: with a per-host dispatch
+    budget of at most ``b`` rows per round, only the per-host top
+    ``b × rounds-until-refill`` rows can possibly be dispatched before
+    the next refill, so the politeness window never needs to see the
+    tail at all.  Invariant: every tail row sorts strictly after every
+    head row of its host, so dispatching the head's top-b IS the
+    frontier's top-b.  Callers persist the input (two filters over one
+    window).
+    """
+    w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in ORDER_KEYS])
+    ranked = frontier.withColumn("_hrn", F.row_number().over(w))
+    head = ranked.filter(F.col("_hrn") <= k).drop("_hrn")
+    tail = ranked.filter(F.col("_hrn") > k).drop("_hrn")
+    return head, tail
+
+
+def dedup_keys(frontier: DataFrame) -> DataFrame:
+    """Cross-source url_hash dedup for refill/compaction merges (the
+    head and the reconstructed tail can briefly hold copies of one key
+    — e.g. a row pulled into the head in-memory during a refill round).
+
+    Deterministic preference: highest ``attempts`` first (a retried
+    row must keep its count, or retry exhaustion resets), then earliest
+    ``round_added`` (an already-queued key keeps its original row —
+    the rewrite-model merge semantics).  Remaining ties are identical
+    rows, so the choice is value-deterministic.
+    """
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("attempts").desc(), F.col("round_added").asc()
+    )
+    return (
+        frontier.withColumn("_krn", F.row_number().over(w))
+        .filter(F.col("_krn") == 1)
+        .drop("_krn")
+    )

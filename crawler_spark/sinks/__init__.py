@@ -46,7 +46,7 @@ APPEND_TABLES = (
     "frontier_add",
     "frontier_del",
 )
-REWRITE_TABLES = ("frontier_base", "seen_filters")
+REWRITE_TABLES = ("frontier_base", "frontier_head", "seen_filters")
 
 # Hive sub-partitioning inside each round dir, mirroring the reference's
 # object layout `schema_name=%s/schema_version=%s/created=%d/...`
@@ -196,9 +196,12 @@ class StateStore:
         reader = self.spark.read.option("basePath", base)
         if schema is not None:
             # explicit schema skips footer inference (a listing + read
-            # job per round otherwise); note it also drops the `round`
-            # partition column — callers that need it pass no schema
+            # job per round otherwise).  Partition discovery still
+            # APPENDS the `round` Hive column even under a user schema,
+            # so project back to exactly the schema's columns — callers
+            # that need `round` pass no schema.
             reader = reader.schema(schema)
+            return reader.parquet(*dirs).select(*[f.name for f in schema.fields])
         return reader.parquet(*dirs)
 
     def _latest_base_round(self, upto: int) -> int:
@@ -213,18 +216,21 @@ class StateStore:
         return max(rounds) if rounds else -1
 
     def read_frontier(self, schema: T.StructType) -> DataFrame:
-        """Committed frontier, reconstructed from the incremental log.
+        """Committed frontier TAIL, reconstructed from the incremental
+        log.  (The per-host top-K working set lives in the separate
+        ``frontier_head`` rewrite table; the engine reads this tail only
+        at compaction refills — never on steady rounds.)
 
-        The frontier is NOT rewritten per round (an O(|frontier|) write
+        The tail is NOT rewritten per round (an O(|frontier|) write
         every round dwarfs the dispatched delta at 10^10 rows).  State =
         a base snapshot (``frontier_base``, written at bootstrap and at
-        compaction rounds) plus per-round deltas: ``frontier_add`` (new
-        candidates + retry re-adds) and ``frontier_del`` (dispatched
-        url_hashes).  A key is live iff its latest add round ≥ its
-        latest del round (a retry/readd shares the round of its del →
-        tie means live), and its row is the latest add.  Reconstruction
-        is two url_hash-key shuffles over base+deltas; compaction bounds
-        the delta tail.
+        compaction rounds) plus per-round deltas: ``frontier_add``
+        (head-overflow demotions) and ``frontier_del`` (dispatched
+        url_hashes — kills a lazily-duplicated tail copy of a key that
+        entered the head independently).  A key is live iff its latest
+        add round ≥ its latest del round (tie means live), and its row
+        is the latest add.  Reconstruction is two url_hash-key shuffles
+        over base+deltas; compaction bounds the delta tail.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F

@@ -247,6 +247,47 @@ def test_bloom_filter_path_equivalence(spark, fixture_paths, tmp_path, full_run,
     assert sum(r["n_keys"] for r in st.collect()) == len(golden.seen)
 
 
+def test_steady_rounds_never_read_tail(spark, fixture_paths, tmp_path, monkeypatch):
+    """Scale pin: between compactions the engine touches ONLY the
+    per-host top-K head — read_frontier (the O(|frontier|) tail
+    reconstruction) must not run on steady rounds.  With a compaction
+    cadence beyond max_rounds, the whole run after bootstrap performs
+    zero tail reads."""
+    calls = {"n": 0}
+    orig = StateStore.read_frontier
+
+    def counting(self, schema):
+        calls["n"] += 1
+        return orig(self, schema)
+
+    monkeypatch.setattr(StateStore, "read_frontier", counting)
+    cfg = CrawlConfig(base_budget=BUDGET, max_rounds=5, frontier_compact_every=50)
+    store, engine = _make_engine(spark, fixture_paths, str(tmp_path / "steady"), cfg)
+    history = engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert len(history) == 5 and sum(h["n_dispatched"] for h in history) > 0
+    assert calls["n"] == 0, "steady-state round read the full frontier tail"
+
+
+def test_head_resize_refill_equivalence(spark, fixture_paths, tmp_path, full_run):
+    """Resuming under a DIFFERENT compaction cadence changes head_k;
+    the stored head is then mis-sized for the new config and the engine
+    must force an immediate refill — the crawl order and seen set stay
+    identical to the uninterrupted reference run."""
+    full_store, _ = full_run
+    root = str(tmp_path / "resize")
+    store, engine = _make_engine(
+        spark, fixture_paths, root,
+        CrawlConfig(base_budget=BUDGET, max_rounds=4, frontier_compact_every=8),
+    )
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    _, engine2 = _make_engine(
+        spark, fixture_paths, root,
+        CrawlConfig(base_budget=BUDGET, max_rounds=MAX_ROUNDS, frontier_compact_every=3),
+    )
+    engine2.run(resume=True)
+    assert _spark_outputs(store) == _spark_outputs(full_store)
+
+
 def test_checkpoint_resume_equivalence(spark, fixture_paths, tmp_path, full_run):
     """Interrupt after round 2 (with crash debris), resume → identical
     final state to the uninterrupted run (north_star resumability)."""

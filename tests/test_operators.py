@@ -275,3 +275,58 @@ def test_global_sequence_bucketed_equals_truth_at_scale(spark):
             ).collect()
         }
         assert got == truth, f"bucketed numbering differs at {nparts=} {buckets=}"
+
+
+# ---- frontier head/tail split (the per-round working set at scale)
+def test_split_head_invariant(spark):
+    from crawler_spark.operators import frontier as FR
+
+    rows = [
+        ("h%d" % (i % 3), "u%d" % i, i, 0, i % 5, 0, 0, 0, "d", "flat", "v1")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "host: string, url: string, url_hash: long, page: int, priority: int,"
+        " round_added: int, attempts: int, seed_id: int, domain: string,"
+        " schema_name: string, schema_version: string",
+    ).persist()
+    head, tail = FR.split_head(df, k=7)
+    h, t = head.collect(), tail.collect()
+    assert len(h) + len(t) == 60
+    assert all(
+        len([r for r in h if r["host"] == host]) == 7 for host in ("h0", "h1", "h2")
+    )
+    # invariant: every tail row sorts strictly after every head row of
+    # its host — dispatching the head's top-b IS the frontier's top-b
+    def key(r):
+        return (r["priority"], r["page"], r["url_hash"])
+
+    for host in ("h0", "h1", "h2"):
+        hmax = max(key(r) for r in h if r["host"] == host)
+        tmin = min(key(r) for r in t if r["host"] == host)
+        assert hmax < tmin
+    df.unpersist()
+
+
+def test_dedup_keys_preference(spark):
+    """Refill-merge dedup: a retried copy (higher attempts) must win
+    (retry exhaustion would otherwise reset); between equal-attempt
+    copies the earlier round_added wins (already-queued keeps its row)."""
+    from crawler_spark.operators import frontier as FR
+
+    df = spark.createDataFrame(
+        [
+            ("u", 1, "h", 0, 0, 5, 2, 0, "d", "flat", "v1"),  # retried copy
+            ("u", 1, "h", 0, 0, 1, 0, 0, "d", "flat", "v1"),  # older, no attempts
+            ("u", 1, "h", 0, 0, 3, 0, 0, "d", "flat", "v1"),
+            ("v", 2, "h", 0, 0, 4, 0, 0, "d", "flat", "v1"),
+        ],
+        "url: string, url_hash: long, host: string, page: int, priority: int,"
+        " round_added: int, attempts: int, seed_id: int, domain: string,"
+        " schema_name: string, schema_version: string",
+    )
+    got = {r["url_hash"]: r for r in FR.dedup_keys(df).collect()}
+    assert len(got) == 2
+    assert (got[1]["attempts"], got[1]["round_added"]) == (2, 5)
+    assert got[2]["round_added"] == 4
