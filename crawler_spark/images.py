@@ -124,10 +124,30 @@ def decode_lossy(data: bytes) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    return encode_png(pixels) if fmt == "png" else encode_lossy(pixels)
+    """'png' → real PNG; 'jpg' → REAL baseline JPEG (crawler_spark.jpeg,
+    quality 99 ≥ the 40 dB gate); anything else → the fast deterministic
+    lossy stand-in (the crawl fixtures' hot path)."""
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpg":
+        from . import jpeg as J
+
+        return J.encode_jpeg(pixels, quality=99)
+    return encode_lossy(pixels)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Dispatch on MAGIC BYTES first (real payloads tell the truth —
+    a genuine JFIF byte string decodes with the real JPEG decoder no
+    matter what the fmt column claims), falling back to fmt."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from . import jpeg as J
+
+        return J.decode_jpeg(data)
+    if data[:4] == _LOSSY_MAGIC:
+        return decode_lossy(data)
     return decode_png(data) if fmt == "png" else decode_lossy(data)
 
 

@@ -44,3 +44,49 @@ def test_phash_robust_to_lossy():
 def test_gen_pixels_deterministic():
     assert np.array_equal(I.gen_pixels(42, 3, 32, 32), I.gen_pixels(42, 3, 32, 32))
     assert not np.array_equal(I.gen_pixels(42, 3, 32, 32), I.gen_pixels(43, 3, 32, 32))
+
+
+def test_real_jpeg_roundtrip_psnr_over_40db():
+    """VERDICT r2 task 8: the PSNR≥40dB input_hint gate exercised
+    against a REAL lossy transform codec (baseline JFIF, Annex-K
+    tables), not only the deterministic stand-in."""
+    from crawler_spark import jpeg as J
+
+    for k, w, h in ((0, 64, 48), (5, 96, 64), (9, 100, 77)):
+        px = I.gen_pixels(42, k, w, h)
+        data = J.encode_jpeg(px, quality=99)
+        # real JFIF markers: SOI, JFIF APP0, baseline SOF0, EOI
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        assert data[6:10] == b"JFIF"
+        back = J.decode_jpeg(data)
+        assert back.shape == px.shape
+        p = I.psnr(back, px)
+        assert p >= 40.0, f"PSNR {p} < 40dB for k={k}"
+        assert p != float("inf"), "jpeg must be genuinely lossy"
+
+
+def test_decode_image_magic_dispatch():
+    """decode_image routes real JPEG / PNG / stand-in payloads by magic
+    bytes regardless of the fmt column."""
+    px = I.gen_pixels(42, 7, 64, 48)
+    jpg = I.encode_image(px, "jpg")
+    assert jpg[:2] == b"\xff\xd8"
+    # fmt says 'jpeg' (the stand-in name) but bytes are real JFIF
+    dec = I.decode_image(jpg, "jpeg")
+    assert I.psnr(dec, px) >= 40.0
+    assert np.array_equal(I.decode_image(I.encode_png(px), "whatever"), px)
+    standin = I.decode_image(I.encode_lossy(px), "jpeg")
+    assert I.psnr(standin, px) >= 40.0
+
+
+def test_real_jpeg_phash_match_on_decoded():
+    """Fixture convention: the stored phash is computed from DECODED
+    pixels, so the verify gate's recompute matches bit-for-bit."""
+    from crawler_spark import jpeg as J
+
+    px = I.gen_pixels(42, 11, 96, 64)
+    dec = J.decode_jpeg(J.encode_jpeg(px, quality=99))
+    assert I.phash64(dec) == I.phash64(dec.copy())
+    # and the decoded image stays perceptually close to the source
+    d = bin((I.phash64(dec) ^ I.phash64(px)) & ((1 << 64) - 1)).count("1")
+    assert d <= 4
