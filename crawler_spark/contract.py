@@ -336,9 +336,16 @@ def q_crawl_round(spark, sf):
         .groupBy("o_custkey", "o_orderkey", "pri")
         .agg(F.count("l_orderkey").alias("n_items"))
     )
-    return global_sequence(fetched, ["pri", "o_orderkey"]).select(
-        "o_custkey", "o_orderkey", "pri", "n_items", "seq"
-    )
+    # dispatch ≤ 2 rows/custkey, so |fetched| ≤ 2×|customer| — known
+    # from the customer footer without a Spark job; below the shared
+    # crossover the single-window path skips the ranged path's two
+    # extra jobs (same constant + rationale as q_order_by above).
+    import pyarrow.parquet as pq
+
+    n_cust = pq.read_metadata(f"{sf}/customer.parquet").num_rows
+    return global_sequence(
+        fetched, ["pri", "o_orderkey"], small=2 * n_cust < SMALL_SEQ_MAX_ROWS
+    ).select("o_custkey", "o_orderkey", "pri", "n_items", "seq")
 
 
 # =====================================================================
