@@ -477,6 +477,20 @@ def q_image_decode_meta(spark, sf):
     return decode_meta(imgs).select("image_id", "dec_w", "dec_h", "dec_phash", "decode_ok")
 
 
+def q_frame_sample(spark, sf):
+    """Video frame sampling over the real MJV1 motion-frame container
+    (crawler_spark.video): every 4th frame of 50 deterministic 12-frame
+    clips, with per-frame decoded phash (rows-only: binary codecs are
+    not DuckDB-expressible)."""
+    from .functions.multimodal import attach_synthetic_videos, frame_sample
+
+    docs = _t(spark, sf, "documents").limit(50)
+    vids = attach_synthetic_videos(docs, "doc_id")
+    return frame_sample(vids, every_n=4).select(
+        "image_id", "frame_idx", "frame_phash"
+    )
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -520,6 +534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
+    "q_frame_sample": q_frame_sample,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -767,5 +782,5 @@ ORACLES: dict[str, str] = {
     """,
     # rows-only (no oracle): q_minhash_neardup, q_simhash_neardup,
     # q_rolling_fingerprint, q_embedding_lsh_topk, q_knn_ivf,
-    # q_image_decode_meta
+    # q_image_decode_meta, q_frame_sample
 }

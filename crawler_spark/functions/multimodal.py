@@ -98,7 +98,12 @@ def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 xi = (np.arange(out_w) * w) // out_w
                 small = np.add.reduceat(np.add.reduceat(px, yi, axis=0), xi, axis=1)
                 cnt = np.outer(np.diff(np.append(yi, h)), np.diff(np.append(xi, w)))
-                small = np.clip(small / cnt[..., None], 0, 255).astype(np.uint8)
+                # clamp: upsampling bins are zero-width and reduceat
+                # already yields the single source row there (see
+                # images.phash64)
+                small = np.clip(
+                    small / np.maximum(cnt, 1)[..., None], 0, 255
+                ).astype(np.uint8)
                 rows["image_id"].append(img_id)
                 rows["bytes"].append(I.encode_png(small))
                 rows["w"].append(out_w)
@@ -137,7 +142,7 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
                 xi = (np.arange(4) * w) // 4
                 blocks = np.add.reduceat(np.add.reduceat(luma, yi, axis=0), xi, axis=1)
                 cnt = np.outer(np.diff(np.append(yi, h)), np.diff(np.append(xi, w)))
-                feat = [ (blocks / cnt).flatten() / 255.0 ]
+                feat = [(blocks / np.maximum(cnt, 1)).flatten() / 255.0]
                 for c in range(3):
                     hist, _ = np.histogram(px[..., c], bins=16, range=(0, 256))
                     feat.append(hist / max(1, h * w))
@@ -154,39 +159,82 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
 
 
 def frame_sample(video: DataFrame, every_n: int = 8) -> DataFrame:
-    """'Video' frame sampling stub: payloads are treated as concatenated
-    fixed-size frame blocks; emit every n-th block.  Deterministic fake
-    decode (no av library in this container — NotImplementedError on
-    real containers); the plumbing (explode to frame rows, binary
-    projection, Arrow batching) is the real shape.
+    """Video frame sampling over the repo's REAL MJV1 motion-frame
+    container (crawler_spark.video): walk the length-prefix index, emit
+    every n-th frame's still payload (real PNG/JPEG bytes, no
+    re-encode) plus its decoded perceptual hash.
+
+    Skipped frames are never decoded — independently-coded frames are
+    what makes sampling O(sampled) instead of O(stream), the property a
+    100 TB frame-sampling pipeline is built around.  Inter-coded
+    containers (MP4/WebM) raise NotImplementedError from the container
+    layer (no av library in this sandbox); this mapInPandas plan is
+    unchanged whichever decoder sits below.
     """
-    frame_bytes = 3 * 16 * 16  # fake fixed 16×16 RGB frame blocks
+    from .. import video as V
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vids, idxs, frames = [], [], []
+            vids, idxs, frames, hashes = [], [], [], []
             for vid, data in zip(pdf["image_id"], pdf["bytes"]):
                 raw = bytes(data)
-                if raw[:4] in (b"\x00\x00\x00\x18", b"RIFF"):
-                    raise NotImplementedError(
-                        "real container formats need an av library; "
-                        "this sandbox ships the deterministic fake only"
-                    )
-                n_frames = len(raw) // frame_bytes
-                for i in range(0, n_frames, every_n):
+                for i, off, ln in V.iter_frame_offsets(raw):
+                    if i % every_n:
+                        continue
                     vids.append(vid)
                     idxs.append(i)
-                    frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
-            yield pd.DataFrame({"image_id": vids, "frame_idx": idxs, "frame": frames})
+                    frames.append(raw[off : off + ln])
+                    hashes.append(I.phash64(V.decode_frame(raw, off, ln)))
+            yield pd.DataFrame(
+                {"image_id": vids, "frame_idx": idxs, "frame": frames,
+                 "frame_phash": pd.Series(hashes, dtype="int64")}
+            )
 
     schema = T.StructType(
         [
             T.StructField("image_id", T.StringType(), False),
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField("frame", T.BinaryType(), False),
+            T.StructField("frame_phash", T.LongType(), False),
         ]
     )
     return video.select("image_id", "bytes").mapInPandas(run, schema=schema)
+
+
+def attach_synthetic_videos(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    w: int = 24,
+    h: int = 20,
+    n_frames: int = 12,
+) -> DataFrame:
+    """Derive a deterministic MJV1 clip per row from an integer id
+    (real container, real PNG/JPEG frames — crawler_spark.video); the
+    video analogue of attach_synthetic_images below."""
+    from .. import video as V
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "n_frames": [], "fmt": []}
+            for k in pdf[id_col].to_numpy():
+                k = int(k)
+                fmt = "png" if k % 2 == 0 else "jpg"
+                rows["image_id"].append(f"vid-{k:012d}")
+                rows["bytes"].append(V.gen_video(seed, k, w, h, n_frames, fmt))
+                rows["n_frames"].append(n_frames)
+                rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema=schema)
 
 
 def attach_synthetic_images(

@@ -175,7 +175,11 @@ def phash64(pixels: np.ndarray) -> int:
     xi = (np.arange(32) * w) // 32
     small = np.add.reduceat(np.add.reduceat(gray, yi, axis=0), xi, axis=1)
     cnt = np.outer(np.diff(np.append(yi, h)), np.diff(np.append(xi, w)))
-    small = small / cnt
+    # upsampling (h or w < 32) yields zero-width bins; reduceat's value
+    # for an empty slice is the single row at that index, so the right
+    # divisor is 1 — without the clamp the 0-division NaNs the DCT and
+    # every sub-32px image hashed to 0
+    small = small / np.maximum(cnt, 1)
     dct = _DCT32 @ small @ _DCT32.T
     block = dct[:8, :8].flatten()
     vals = block[1:]  # drop DC

@@ -1,0 +1,115 @@
+"""Minimal real video container (motion-frame sequence, "MJV1").
+
+Upgrades the round-2 video *stub* (raw fixed-size block slicing with a
+declared fake decode) to a real, self-describing container over the
+repo's real image codecs — the same move jpeg.py made for still
+images.  Layout (all big-endian):
+
+    b"MJV1"                      magic
+    u16 n_frames                 frame count
+    u8  fps                      nominal frame rate (metadata only)
+    u16 w, u16 h                 frame dimensions
+    n_frames × (u32 len, bytes)  length-prefixed frame payloads,
+                                 each a real PNG (lossless) or real
+                                 baseline JPEG (crawler_spark.jpeg)
+
+This is the motion-JPEG idea — independently coded frames, no
+inter-frame prediction — which is exactly what a frame-sampling
+training-data pipeline wants: every n-th frame decodes without
+decoding its neighbours, so a sample of k frames costs O(k) decode
+work plus an O(n_frames) index walk over length prefixes (no payload
+bytes are touched for skipped frames).
+
+Real inter-coded containers (MP4/H.264, WebM/VP9) still need an av
+library this sandbox doesn't ship; ``iter_frame_offsets`` raises
+NotImplementedError on their magic bytes, and the Spark plumbing in
+functions/multimodal.py is identical whichever decoder sits below.
+
+No reference-repo lineage: e8kor/crawler has no video code; the
+container layout is original and the frame codecs follow public specs
+(PNG, ITU-T T.81).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+
+from . import images as I
+
+_MAGIC = b"MJV1"
+_HDR = struct.Struct(">HBHH")  # n_frames, fps, w, h
+
+
+def encode_video(
+    frames: list[np.ndarray], fps: int = 8, fmt: str = "png"
+) -> bytes:
+    """Encode H×W×3 uint8 frames into an MJV1 container.
+
+    ``fmt``: 'png' (lossless) or 'jpg' (real baseline JPEG, lossy —
+    frame PSNR stays above the 40 dB input_hint gate at quality 99).
+    """
+    assert frames, "empty video"
+    h, w, _ = frames[0].shape
+    assert all(f.shape == (h, w, 3) for f in frames), "mixed frame dims"
+    out = [_MAGIC, _HDR.pack(len(frames), fps, w, h)]
+    for f in frames:
+        payload = I.encode_image(f, fmt)
+        out.append(struct.pack(">I", len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
+
+def probe(data: bytes) -> dict:
+    """Container metadata without touching any frame payload."""
+    if data[:4] != _MAGIC:
+        _reject_foreign(data)
+    n, fps, w, h = _HDR.unpack_from(data, 4)
+    return {"n_frames": n, "fps": fps, "w": w, "h": h}
+
+
+def iter_frame_offsets(data: bytes) -> Iterator[tuple[int, int, int]]:
+    """Yield (frame_idx, payload_offset, payload_len) — index walk only."""
+    if data[:4] != _MAGIC:
+        _reject_foreign(data)
+    (n, _fps, _w, _h) = _HDR.unpack_from(data, 4)
+    pos = 4 + _HDR.size
+    for i in range(n):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        yield i, pos, ln
+        pos += ln
+
+
+def decode_frame(data: bytes, offset: int, length: int) -> np.ndarray:
+    """Decode one length-prefixed frame payload (magic-dispatched)."""
+    return I.decode_image(data[offset : offset + length], "png")
+
+
+def sample_frames(
+    data: bytes, every_n: int = 8
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Decode every n-th frame; skipped frames cost zero decode work."""
+    for i, off, ln in iter_frame_offsets(data):
+        if i % every_n == 0:
+            yield i, decode_frame(data, off, ln)
+
+
+def _reject_foreign(data: bytes) -> None:
+    head = bytes(data[:12])
+    if head[4:8] == b"ftyp" or head[:4] == b"RIFF" or head[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "inter-coded containers (MP4/AVI/WebM) need an av library; "
+            "this sandbox ships the real MJV1 motion-frame container only"
+        )
+    raise ValueError("not an MJV1 container")
+
+
+def gen_video(seed: int, k: int, w: int, h: int, n_frames: int, fmt: str = "png") -> bytes:
+    """Deterministic synthetic clip: frame f = gen_pixels(seed, k*997+f)
+    — per-frame content differs so sampling order is testable."""
+    return encode_video(
+        [I.gen_pixels(seed, k * 997 + f, w, h) for f in range(n_frames)], fmt=fmt
+    )

@@ -218,10 +218,51 @@ def test_resize_and_embedding_shapes(spark):
     }
 
 
-def test_frame_sample_stub(spark):
+def test_frame_sample_real_container(spark):
     import pandas as pd
 
-    payload = bytes(range(256)) * 12  # 3072 bytes = 4 fake frames of 768
-    pdf = pd.DataFrame({"image_id": ["v-1"], "bytes": [payload]})
-    frames = MM.frame_sample(spark.createDataFrame(pdf), every_n=2).collect()
-    assert [r["frame_idx"] for r in frames] == [0, 2]
+    from crawler_spark import images as I
+    from crawler_spark import video as V
+
+    # two clips: lossless PNG frames and real baseline-JPEG frames
+    clips = {
+        "v-png": V.gen_video(42, 3, 24, 20, n_frames=7, fmt="png"),
+        "v-jpg": V.gen_video(42, 4, 24, 20, n_frames=7, fmt="jpg"),
+    }
+    pdf = pd.DataFrame(
+        {"image_id": list(clips), "bytes": list(clips.values())}
+    )
+    rows = MM.frame_sample(spark.createDataFrame(pdf), every_n=3).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["image_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_vid["v-png"]) == [0, 3, 6]
+    assert sorted(r["frame_idx"] for r in by_vid["v-jpg"]) == [0, 3, 6]
+    # every sampled frame payload decodes to the source pixels within
+    # the input_hint invariant (exact for PNG, PSNR>=40dB for JPEG),
+    # and the emitted phash matches a local re-decode
+    for r in rows:
+        k = 3 if r["image_id"] == "v-png" else 4
+        dec = I.decode_image(bytes(r["frame"]), "png")
+        ref = I.gen_pixels(42, k * 997 + r["frame_idx"], 24, 20)
+        assert I.phash64(dec) == r["frame_phash"]
+        if r["image_id"] == "v-png":
+            assert (dec == ref).all()
+        else:
+            assert I.psnr(dec, ref) >= 40.0
+    # sub-32px frames must hash non-degenerately (phash64 upsampling
+    # previously divided by zero-width bins → every small image → 0)
+    assert len({r["frame_phash"] for r in rows}) > len(rows) // 2
+
+
+def test_video_container_rejects_foreign_magic():
+    import pytest
+
+    from crawler_spark import video as V
+
+    with pytest.raises(NotImplementedError):
+        list(V.iter_frame_offsets(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32))
+    with pytest.raises(ValueError):
+        list(V.iter_frame_offsets(b"garbage-neither-container"))
+    meta = V.probe(V.gen_video(42, 9, 16, 12, n_frames=5))
+    assert meta == {"n_frames": 5, "fps": 8, "w": 16, "h": 12}
