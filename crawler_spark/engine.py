@@ -31,7 +31,11 @@ Physical-plan discipline (the part that matters at 10^10 URLs):
 - the fetch/extract/verify chain is repartitioned with an EXPLICIT
   partition count after the fetch join: its cost is per row, not per
   byte, and AQE's byte-based coalescing would otherwise fold a
-  politeness-bounded (byte-small) round into one task;
+  politeness-bounded (byte-small) round into one task.  The count is
+  sized from the EXACT dispatch count (pages_per_task pages/task,
+  capped at max_tasks_per_core) and keyed by url_hash — maximal
+  salting, so hot hosts spread uniformly and no straggler tail gates
+  wide parallelism (politeness.spread_partition);
 - the frontier is split into a per-host top-K HEAD (the working set
   the politeness window ranks each round — O(hosts × K), rewritten per
   round) and a TAIL (base snapshot + demotion add-deltas + dispatch
@@ -76,12 +80,20 @@ class CrawlConfig:
     round_ms: int = P.DEFAULT_ROUND_MS
     max_rounds: int = 64
     seed_limit: int | None = None  # reference mode: 1 (G7 single-seed)
+    # fetch/extract/verify task granularity: pages per task (the chain's
+    # cost is per row — each page is a fixed 24-listing decode/verify
+    # unit) and a tasks-per-core cap so tiny rounds don't fragment.
+    # Finer tasks amortize the straggler tail that gates wide
+    # parallelism: at 32 cores the last task of a 96-partition fat
+    # round ran alone for ~1/3 of the stage (measured; see
+    # politeness.spread_partition).
+    pages_per_task: int = 256
+    max_tasks_per_core: int = 12
     # frontier delta log: full-snapshot compaction cadence (rounds)
     frontier_compact_every: int = 8
     use_bloom: bool = True
     bloom_parts: int = 64
     bloom_min_keys: int = 500_000  # below this the plain anti-join is cheaper
-    num_salts: int = 8
     cache_web: bool = True
     verify_rows: bool = True  # per-row decode+phash+PSNR gate (input_hint)
     image_seed: int = 42
@@ -106,14 +118,16 @@ class CrawlEngine:
         self.spark = spark
         self.store = store
         self.cfg = config or CrawlConfig()
-        self.web_images = web_images
         if self.cfg.cache_web:
             # reread twice per round otherwise; robots is broadcast-joined
-            # every round.  (At true 10^10 scale web_pages caching is a
-            # no-op — .persist() spills/evicts — while the local bench is
+            # every round, web_images rescanned by every round's results
+            # join.  (At true 10^10 scale web caching is a no-op —
+            # .persist() spills/evicts — while the local bench is
             # dominated by rescans without it.)
             web_pages = web_pages.persist()
             robots = robots.persist()
+            web_images = web_images.persist()
+        self.web_images = web_images
         self.web_pages = web_pages
         self.robots = robots
 
@@ -237,18 +251,31 @@ class CrawlEngine:
         ).persist()
         deferred = ranked.filter(~F.col("_dispatch")).drop("_dispatch")
 
-        # Salt AFTER the fetch join, with an EXPLICIT partition count:
-        # the join's own shuffle would otherwise replace any pre-join
-        # partitioning, and AQE's byte-based coalescing would then fold
-        # the (byte-small, row-expensive) extract+decode+verify chain
-        # into one task — observed as flat scaling across core counts.
-        fetched = P.salt_partition(
-            FE.fetch_closed_world(dispatch, self.web_pages),
-            cfg.num_salts,
-            # 3x cores: finer tasks level stragglers in the decode/verify
-            # stage (measured best at 3-4x; 1x leaves the slowest task
-            # gating the round) while batches stay Arrow-efficient
-            num_partitions=self.spark.sparkContext.defaultParallelism * 3,
+        # The dispatch count is exact and cheap (dispatch is persisted and
+        # consumed by four downstream frames anyway), and it sizes the
+        # round's dominant stage correctly — a prediction from the
+        # previous round under-partitions 5× at the expansion inflection.
+        n_dispatch = dispatch.count()
+        _mark("materialize_dispatch")
+
+        # Repartition AFTER the fetch join, with an EXPLICIT partition
+        # count: the join's own shuffle would otherwise replace any
+        # pre-join partitioning, and AQE's byte-based coalescing would
+        # then fold the (byte-small, row-expensive) extract+decode+verify
+        # chain into one task — observed as flat scaling across core
+        # counts.  Partitioned by url_hash (maximal salt) and sized from
+        # the exact dispatch count: pages_per_task-page tasks amortize
+        # the straggler tail that otherwise gates wide parallelism.
+        par = self.spark.sparkContext.defaultParallelism
+        n_parts = max(
+            par,
+            min(
+                par * cfg.max_tasks_per_core,
+                -(-n_dispatch // cfg.pages_per_task),
+            ),
+        )
+        fetched = P.spread_partition(
+            FE.fetch_closed_world(dispatch, self.web_pages), n_parts
         ).persist()
         ok, retry, dead = FE.split_fetch_outcomes(fetched)
 
@@ -457,7 +484,7 @@ class CrawlEngine:
         _mark("writes")
 
         # ---- per-round metrics from the footers of what was written
-        n_dispatched = st.partition_row_count("dispatch_log", round_no)
+        n_dispatched = n_dispatch  # exact (dispatch_log is written from it)
         n_dead = st.partition_row_count("dead", round_no)
         n_results = st.partition_row_count("results", round_no)
         n_candidates = st.partition_row_count("expansion_log", round_no)

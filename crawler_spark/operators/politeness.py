@@ -95,3 +95,22 @@ def salt_partition(
     if num_partitions:
         return dispatch.repartition(num_partitions, *cols)
     return dispatch.repartition(*cols)
+
+
+def spread_partition(dispatch: DataFrame, num_partitions: int) -> DataFrame:
+    """Maximal salting: partition by the full ``url_hash`` (salt = the
+    hash itself), spreading EVERY host uniformly across all tasks.
+
+    For the closed-world fetch path the downstream extract/decode/verify
+    chain is pure per-row CPU with no host affinity to preserve, so the
+    right physical layout is the most uniform one — (host, salt%S)
+    clustering only adds bucket-weight variance that shows up as a
+    straggler tail at wide parallelism (measured at local[32], 130k
+    pages: 96 host-salt partitions 201 s vs 320 url_hash partitions
+    98.5 s for the identical stage).  ``salt_partition`` remains the
+    right layout for the live-web ``fetch_http_map`` path, where
+    host-clustered batches enable connection reuse and in-batch
+    crawl-delay pacing.  Deterministic (hash partitioning on a
+    deterministic column) — the crawl order never depends on physical
+    layout either way."""
+    return dispatch.repartition(num_partitions, F.col("url_hash"))

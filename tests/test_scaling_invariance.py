@@ -4,8 +4,9 @@ URL-seen set at any cluster size).
 The full local[8]-vs-local[32] evidence runs in
 scripts/scaling_bench.py (separate JVMs, fingerprint compare); this
 in-suite test varies every parallelism-shaped knob that can vary
-*within* one session — shuffle partitions, salt count, bloom
-partition count, input partitioning — and pins bit-identical outputs.
+*within* one session — shuffle partitions, fetch-stage task
+granularity, bloom partition count, input partitioning — and pins
+bit-identical outputs.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ def fx(spark, tmp_path_factory):
     return FX.write_fixtures(spark, out, n_seeds=8, n_hosts=5, n_images=120)
 
 
-def _run(spark, fx, root, shuffle_parts, num_salts, bloom_parts, repart):
+def _run(spark, fx, root, shuffle_parts, pages_per_task, bloom_parts, repart):
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
     try:
         store = StateStore(spark, root)
@@ -44,7 +45,7 @@ def _run(spark, fx, root, shuffle_parts, num_salts, bloom_parts, repart):
             config=CrawlConfig(
                 base_budget=3,
                 max_rounds=MAX_ROUNDS,
-                num_salts=num_salts,
+                pages_per_task=pages_per_task,
                 bloom_min_keys=1,
                 bloom_parts=bloom_parts,
             ),
