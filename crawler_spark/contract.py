@@ -403,21 +403,28 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_minhash_neardup(spark, sf):
-    """MinHash+LSH near-dup pairs, exact-verified (rows-only check:
-    xxhash64 signatures are not reproducible in DuckDB)."""
-    return ND.minhash_neardup_pairs(_t(spark, sf, "documents"), threshold=0.4)
+    """MinHash+LSH near-dup pairs, exact-verified.  Portable md5-int60
+    shingle hashes: the DuckDB oracle replays signatures (HUGEINT
+    modular arithmetic, same permutation constants), band candidates,
+    and exact-Jaccard verification bit-for-bit."""
+    return ND.minhash_neardup_pairs(
+        _t(spark, sf, "documents"), threshold=0.4, hash_fn=TX.md5_int60
+    )
 
 
 def q_simhash_neardup(spark, sf):
-    """SimHash signatures + Hamming≤3 pairs (rows-only check)."""
-    sigs = ND.simhash64(_t(spark, sf, "documents"))
+    """SimHash signatures + Hamming≤3 pairs.  Portable md5-int60 token
+    hashes; the oracle brute-forces all pairs — valid because banding
+    is EXACT (pigeonhole: d≤3 ⇒ one of 4 16-bit bands equal), so the
+    banded plan must reproduce the brute-force result."""
+    sigs = ND.simhash64(_t(spark, sf, "documents"), hash_fn=TX.md5_int60)
     return ND.simhash_neardup_pairs(sigs, max_hamming=3)
 
 
 def q_rolling_fingerprint(spark, sf):
-    """Winnowing-style min-hash fingerprint (rows-only: xxhash64)."""
+    """Winnowing-style min-hash fingerprint (portable md5-int60)."""
     return _t(spark, sf, "documents").select(
-        "doc_id", TX.rolling_fingerprint("text").alias("rfp")
+        "doc_id", TX.rolling_fingerprint("text", portable=True).alias("rfp")
     )
 
 
@@ -538,9 +545,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
-_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, greatest(length(norm)-4, 0)),"
-    " i -> substr(norm, i, 5)))"
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length(norm)-{n - 1}, 0)),"
+        f" i -> substr(norm, i, {n})))"
+    )
+
+
+_SHINGLES = _shingles_sql(5)
+
+
+def _md5i(expr: str) -> str:
+    """DuckDB mirror of text.md5_int60 (first 15 md5 hex digits → int64)."""
+    return f"CAST('0x' || substr(md5({expr}),1,15) AS BIGINT)"
+
+
+# MinHash permutation constants — the SAME (a, b) pairs the Spark UDF
+# draws (neardup._perm_params seed 42), embedded as SQL literals so the
+# oracle replays the signatures with HUGEINT modular arithmetic.
+_MH_A, _MH_B = ND._perm_params(64, seed=42)
+_MH_PARAMS = "[" + ",".join(f"[{int(a)},{int(b)}]" for a, b in zip(_MH_A, _MH_B)) + "]"
+_MH_MAXSIG = "[" + ",".join(["9223372036854775807"] * 64) + "]"
+_MH_BAND_EQ = " OR ".join(
+    f"list_slice(x.sig,{i * 4 + 1},{i * 4 + 4}) = list_slice(y.sig,{i * 4 + 1},{i * 4 + 4})"
+    for i in range(16)
+)
+
+# SimHash mirror: 64 conditional bit-sums, sign bits reassembled with the
+# identical two's-complement bit values the Spark aggregate uses.
+_SH_SUMS = ",\n                 ".join(
+    f"sum(CASE WHEN ((th >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(64)
+)
+_SH_SIG = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({(1 << j) if j < 63 else -(1 << 63)} AS BIGINT)"
+    " ELSE 0 END"
+    for j in range(64)
 )
 
 ORACLES: dict[str, str] = {
@@ -780,7 +822,71 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, nbr_id, sim, cast(rn AS BIGINT) AS rank
         FROM ranked WHERE rn <= 3
     """,
-    # rows-only (no oracle): q_minhash_neardup, q_simhash_neardup,
-    # q_rolling_fingerprint, q_embedding_lsh_topk, q_knn_ivf,
-    # q_image_decode_meta, q_frame_sample
+    "q_minhash_neardup": f"""
+        WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES} AS grams FROM docs),
+        shl AS (
+          SELECT doc_id, cast(len(grams) AS BIGINT) AS n_sh,
+                 list_transform(grams, s -> {_md5i("s")}) AS hs
+          FROM sh),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN {_MH_MAXSIG}
+                 ELSE list_transform({_MH_PARAMS}, p ->
+                   CAST(list_min(list_transform(hs, h ->
+                     CAST((CAST(p[1] AS HUGEINT) * h + CAST(p[2] AS HUGEINT))
+                          % 2305843009213693951 AS BIGINT))) AS BIGINT))
+                 END AS sig
+          FROM shl),
+        cand AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+          WHERE {_MH_BAND_EQ}),
+        ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS inter
+          FROM cand c
+          JOIN ex x ON x.doc_id = c.a
+          JOIN ex y ON y.doc_id = c.b AND y.g = x.g
+          GROUP BY 1, 2),
+        j AS (
+          SELECT i.a, i.b,
+                 round(cast(i.inter AS DOUBLE)
+                       / cast(sa.n_sh + sb.n_sh - i.inter AS DOUBLE), 4) AS jaccard
+          FROM inter i
+          JOIN shl sa ON sa.doc_id = i.a
+          JOIN shl sb ON sb.doc_id = i.b)
+        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    # brute-force all-pairs oracle: valid because the Spark plan's
+    # banding is EXACT (pigeonhole: hamming≤3 ⇒ one of 4 16-bit bands
+    # equal), so the banded equi-join must reproduce the O(n²) result.
+    "q_simhash_neardup": f"""
+        WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        toks AS (
+          SELECT doc_id, {_md5i("unnest(string_split(norm, ' '))")} AS th
+          FROM docs),
+        bits AS (
+          SELECT doc_id,
+                 {_SH_SUMS}
+          FROM toks GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({_SH_SIG} AS BIGINT) AS simhash FROM bits)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """,
+    "q_rolling_fingerprint": f"""
+        WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        g AS (SELECT doc_id, norm, {_shingles_sql(8)} AS grams FROM d)
+        SELECT doc_id,
+               CASE WHEN len(grams) = 0 THEN {_md5i("norm")}
+               ELSE list_min(list_transform(grams, s -> {_md5i("s")}))
+               END AS rfp
+        FROM g
+    """,
+    # rows-only (no oracle): q_partitioned_write (side-effecting),
+    # q_embedding_lsh_topk + q_knn_ivf (approximate by construction;
+    # recall pinned vs brute force in tests/test_functions.py),
+    # q_image_decode_meta + q_frame_sample (binary codecs)
 }

@@ -62,14 +62,21 @@ def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 # ------------------------------------------------------------ shingle sets
 def shingle_hashes(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, shingle_hashes: array<long>) — distinct char n-grams hashed
-    JVM-side (xxhash64).  Arrays stay un-exploded until a consumer
-    needs the shuffle."""
+    JVM-side.  Default hash is xxhash64 (fastest JVM path);
+    ``hash_fn=text.md5_int60`` makes every downstream signature
+    DuckDB-reproducible (driver-contract oracles).  Arrays stay
+    un-exploded until a consumer needs the shuffle."""
+    hf = hash_fn or F.xxhash64
     return docs.select(
         F.col(id_col),
-        F.transform(char_shingles(text_col, n), lambda g: F.xxhash64(g)).alias("shingle_hashes"),
+        F.transform(char_shingles(text_col, n), lambda g: hf(g)).alias("shingle_hashes"),
     )
 
 
@@ -191,12 +198,18 @@ def minhash_neardup_pairs(
     rows: int = 4,
     threshold: float = 0.4,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: candidates from banding, then EXACT
     Jaccard verification of candidates only (no false positives in the
     output; recall governed by the banding curve).  The 100 TB path:
-    all shuffles move (int64 key, int64 id) pairs."""
-    sh = shingle_hashes(docs, id_col, text_col, n).persist()
+    all shuffles move (int64 key, int64 id) pairs.
+
+    With ``hash_fn=text.md5_int60`` the whole pipeline (signatures,
+    band candidates, verified pairs) is bit-reproducible in ANSI SQL —
+    the driver contract's oracle replays it in DuckDB with HUGEINT
+    modular arithmetic over the same permutation constants."""
+    sh = shingle_hashes(docs, id_col, text_col, n, hash_fn=hash_fn).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, k, seed, id_col), bands, rows, id_col)
     sizes = sh.select(F.col(id_col), F.size("shingle_hashes").cast("long").alias("n_sh"))
     ex = sh.select(F.col(id_col), F.explode("shingle_hashes").alias("sh"))
@@ -239,16 +252,22 @@ def minhash_neardup_pairs(
 
 
 # --------------------------------------------------------------- simhash
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash_fn=None
+) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash, 100% JVM aggregates.
 
-    explode(tokens) → xxhash64 → per-doc, for each bit j: sum(±1 by
+    explode(tokens) → token hash → per-doc, for each bit j: sum(±1 by
     bit j of the token hash) → bit j of the signature = sign.  64
     conditional sums in ONE hash-aggregate pass (map-side combined).
+    Default token hash xxhash64; ``hash_fn=text.md5_int60`` for the
+    DuckDB-reproducible contract variant (bits 60-63 then carry no
+    entropy — identically in both engines).
     """
+    hf = hash_fn or F.xxhash64
     toks = docs.select(
         F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", hf(F.col("tok")))
     bit_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -314,7 +333,9 @@ def simhash_neardup_pairs(
         .select(
             F.col(f"x.{id_col}").alias("a"),
             F.col(f"y.{id_col}").alias("b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -142,12 +142,23 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def rolling_fingerprint(col: Column | str, n: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min xxhash64 over character
-    n-gram windows of the canonical text (engine-internal key; not
-    DuckDB-reproducible — rows-only check)."""
+def md5_int60(col: Column) -> Column:
+    """Portable 60-bit integer hash: the first 15 hex digits of md5 as a
+    non-negative int64.  Bit-identical in any engine with md5 + hex
+    parsing (DuckDB: ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``) —
+    the cross-engine-checkable counterpart of the JVM-native xxhash64
+    used on engine-internal hot paths."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def rolling_fingerprint(col: Column | str, n: int = 8, portable: bool = False) -> Column:
+    """Winnowing-style document fingerprint: min hash over character
+    n-gram windows of the canonical text.  Default hash is xxhash64
+    (engine-internal key); ``portable=True`` uses :func:`md5_int60` so
+    the DuckDB oracle reproduces it bit-for-bit."""
+    hf = md5_int60 if portable else F.xxhash64
     grams = char_shingles(col, n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(grams, lambda g: hf(g))
     return F.when(F.size(hashes) > 0, F.array_min(hashes)).otherwise(
-        F.xxhash64(norm_text(col))
+        hf(norm_text(col))
     ).cast("long")
