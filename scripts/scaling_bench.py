@@ -359,6 +359,12 @@ def main() -> int:
             rec = json.loads(line[-1][len("RESULT ") :])
             rec["cpu_util_pinned_cores"] = util
             runs[cpus].append(rec)
+            sys.stderr.write(
+                f"LEG local[{cpus}] repeat {len(runs[cpus])}: "
+                f"wall={rec['wall_sec']}s util={util} "
+                f"fp={rec['dispatch_fingerprint']}\n"
+            )
+            sys.stderr.flush()
 
     best = {k: min(rs, key=lambda r: r["wall_sec"]) for k, rs in runs.items()}
     fps = {r["dispatch_fingerprint"] for rs in runs.values() for r in rs}
@@ -373,19 +379,27 @@ def main() -> int:
     for n in levels:
         if 4 * n not in levels:
             continue
-        eff = (best[4 * n]["urls_per_sec"] / best[n]["urls_per_sec"]) / 4.0
         kc = ceiling["kernel_pair_efficiency"].get(f"{n}->{4 * n}")
+        pw = sorted(
+            round(a["wall_sec"] / b["wall_sec"], 3)
+            for a, b in zip(runs[n], runs[4 * n])
+        )
+        # headline estimator: MEDIAN of same-window pairwise ratios.
+        # Leg i of N runs immediately before leg i of 4N, so each ratio
+        # is measured inside one host window; the min-per-level ratio
+        # (kept below) divides walls from DIFFERENT windows, and on a
+        # host whose identical leg drifts 10-15% within the hour that
+        # mixes host drift into the engine number in either direction.
+        med = pw[len(pw) // 2] if len(pw) % 2 else (pw[len(pw) // 2 - 1] + pw[len(pw) // 2]) / 2
+        eff = med / 4.0
+        eff_min = (best[4 * n]["urls_per_sec"] / best[n]["urls_per_sec"]) / 4.0
         pairs[f"{n}->{4 * n}"] = {
-            "speedup": round(
-                best[n]["wall_sec"] / best[4 * n]["wall_sec"], 3
-            ),
+            "speedup_median_pairwise": round(med, 3),
             "efficiency": round(eff, 3),
+            "efficiency_min_per_level": round(eff_min, 3),
             "efficiency_vs_hardware_ceiling": round(eff / kc, 3) if kc else None,
             "kernel_ceiling_efficiency": kc,
-            "pairwise_speedup": [
-                round(a["wall_sec"] / b["wall_sec"], 3)
-                for a, b in zip(runs[n], runs[4 * n])
-            ],
+            "pairwise_speedup": pw,
         }
     # criterion pair: the smallest-N 4x pair — the one inside the box's
     # linear region, i.e. the honest single-box stand-in for N vs 4N
