@@ -24,9 +24,15 @@ def render(s: dict) -> str:
         int(k[len("local"):]) for k in s if re.fullmatch(r"local\d+", k)
     )
     lines = [MARKER, ""]
+    reps = s["repeats"]
+    reps_txt = (
+        ", ".join(f"local[{k}]×{v}" for k, v in sorted(reps.items(), key=lambda kv: int(kv[0])))
+        if isinstance(reps, dict)
+        else str(reps)
+    )
     lines.append(
-        f"Fixture: {s['n_seeds']:,} seeds / {s['n_hosts']:,} hosts, "
-        f"{s['repeats']} alternating repeats per level, estimator: "
+        f"Fixture: {s['n_seeds']:,} seeds / {s['n_hosts']:,} hosts; "
+        f"alternating repeats: {reps_txt}; estimator: "
         f"{s['estimator']}."
     )
     lines.append("")
@@ -44,17 +50,19 @@ def render(s: dict) -> str:
         )
     lines.append("")
     lines.append(
-        "| pair | speedup | efficiency | kernel ceiling | vs ceiling | same-window repeats |"
+        "| pair | median pairwise speedup | efficiency | eff (min-per-level) | kernel ceiling | same-window pair ratios |"
     )
     lines.append("|---|---|---|---|---|---|")
     for name, p in s["pairs"].items():
         mark = " **(criterion)**" if name == s.get("criterion_pair") else ""
         pw = ", ".join(f"{x:.2f}" for x in p["pairwise_speedup"])
         kc = p.get("kernel_ceiling_efficiency")
-        vs = p.get("efficiency_vs_hardware_ceiling")
+        sp = p.get("speedup_median_pairwise", p.get("speedup"))
+        em = p.get("efficiency_min_per_level")
         lines.append(
-            f"| {name}{mark} | {p['speedup']:.2f}x | **{p['efficiency']:.3f}** "
-            f"| {kc if kc is not None else '—'} | {vs if vs is not None else '—'} | {pw} |"
+            f"| {name}{mark} | {sp:.2f}x | **{p['efficiency']:.3f}** "
+            f"| {em if em is not None else '—'} "
+            f"| {kc if kc is not None else '—'} | {pw} |"
         )
     lines.append("")
     lines.append(
