@@ -173,13 +173,14 @@ def _parse_levels() -> list[int]:
 
 
 def _pin_range(cpus: int, max_level: int) -> range:
-    """Core range for a leg: small legs take the TOP slice (low cores
-    take host interrupt work and are episodically slower); the largest
-    leg necessarily spans the host."""
+    """Core range for a leg: every leg that fits takes the TOP slice
+    (low cores take host interrupt work and are episodically slower);
+    only a leg spanning the whole host touches the low cores.  Keyed
+    off host size, not the level list, so an 8-core leg lands on the
+    same physical slice whether the run's max level is 8 or 32 —
+    otherwise walls from different invocations are not comparable."""
     ncpu = os.cpu_count() or cpus
-    if cpus < max_level:
-        return range(max(0, ncpu - cpus), ncpu)
-    return range(0, min(cpus, ncpu))
+    return range(max(0, ncpu - cpus), ncpu)
 
 
 def kernel_ceiling(levels: list[int], duration: float = 6.0) -> dict:
