@@ -104,11 +104,15 @@ def main() -> int:
         hi = int(pname.split("->")[1])
         eff_min = (best[hi]["urls_per_sec"] / best[n]["urls_per_sec"]) / 4.0
         kc = ceiling.get("kernel_pair_efficiency", {}).get(pname)
+        # A measured kernel "ceiling" above 1.0 is probe noise (no kernel
+        # scales superlinearly on 4x cores); the true ceiling is <=1, so
+        # clamp for the normalization while reporting the raw probe.
+        kc_eff = min(kc, 1.0) if kc else None
         pairs[pname] = {
             "speedup_median_pairwise": round(med, 3),
             "efficiency": round(eff, 3),
             "efficiency_min_per_level": round(eff_min, 3),
-            "efficiency_vs_hardware_ceiling": round(eff / kc, 3) if kc else None,
+            "efficiency_vs_hardware_ceiling": round(eff / kc_eff, 3) if kc_eff else None,
             "kernel_ceiling_efficiency": kc,
             "pairwise_speedup": pw,
         }
