@@ -111,6 +111,34 @@ def bench_crawl(spark, n_seeds: int = 800, n_hosts: int = 64, n_images: int = 15
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _scaling_summary() -> dict | None:
+    """North-rule scaling evidence from the repo's SCALING.json, if a
+    multi-level run has been recorded (scripts/scaling_bench.py +
+    scripts/merge_scaling_runs.py).  Surfaced here so the one-line
+    bench JSON carries the two-cluster-size criterion alongside the
+    single-level walls; full provenance stays in SCALING.json."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if not os.path.isfile(path):
+        return None
+    try:
+        s = json.load(open(path))
+    except (OSError, ValueError):
+        return None
+    out = {
+        "criterion_pair": s.get("criterion_pair"),
+        "scaling_efficiency": s.get("scaling_efficiency"),
+        "efficiency_vs_hardware_ceiling": s.get("efficiency_vs_hardware_ceiling"),
+        "order_and_seen_identical": s.get("order_and_seen_identical"),
+        "urls_per_sec": {
+            k[len("local"):]: s[k].get("urls_per_sec")
+            for k in s
+            if k.startswith("local") and isinstance(s[k], dict)
+        },
+        "estimator": s.get("estimator"),
+    }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -132,19 +160,19 @@ def main() -> None:
         crawl = bench_crawl(spark)
         total = round(time.perf_counter() - t0, 3)
 
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_plus_crawl_e2e_wall",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": queries,
-                    "sf": sf,
-                    "crawl": crawl,
-                    "cpus": cpus,
-                }
-            )
-        )
+        out = {
+            "metric": "headline_queries_plus_crawl_e2e_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "crawl": crawl,
+            "cpus": cpus,
+        }
+        scaling = _scaling_summary()
+        if scaling:
+            out["scaling"] = scaling
+        print(json.dumps(out))
     finally:
         spark.stop()
 

@@ -1,0 +1,170 @@
+"""Unit tests for the scaling-evidence tooling (no Spark session):
+core pinning in scripts/scaling_bench.py, the same-engine run merger
+in scripts/merge_scaling_runs.py, and the bench.py scaling surface.
+
+These scripts produce SCALING.json — the north-rule two-cluster-size
+evidence — so their arithmetic and refusal guards are pinned here.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name: str, rel: str):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REPO, rel))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+sb = _load("sb_under_test", "scripts/scaling_bench.py")
+msr = _load("msr_under_test", "scripts/merge_scaling_runs.py")
+
+
+# ---------------------------------------------------------------- pinning
+
+def test_pin_range_always_top_slice():
+    ncpu = os.cpu_count()
+    # every leg that fits gets the TOP slice, independent of the run's
+    # level list — otherwise walls from 2,8 and 2,8,32 invocations are
+    # not comparable (low vCPUs take host interrupt work)
+    assert sb._pin_range(2, 8) == range(ncpu - 2, ncpu)
+    assert sb._pin_range(2, 32) == range(ncpu - 2, ncpu)
+    assert sb._pin_range(8, 8) == range(ncpu - 8, ncpu)
+    assert sb._pin_range(8, 32) == range(ncpu - 8, ncpu)
+    # a leg spanning the host necessarily takes everything
+    assert sb._pin_range(ncpu, ncpu) == range(0, ncpu)
+
+
+# ----------------------------------------------------------------- merger
+
+def _mk_run(pairwise, walls2, walls8, fp="fp0", n_seeds=100, kc=0.9):
+    n = 100
+    return {
+        "local2": {
+            "cpus": 2,
+            "n_dispatched": n,
+            "wall_sec": min(walls2),
+            "urls_per_sec": round(n / min(walls2), 2),
+            "dispatch_fingerprint": fp,
+        },
+        "local8": {
+            "cpus": 8,
+            "n_dispatched": n,
+            "wall_sec": min(walls8),
+            "urls_per_sec": round(n / min(walls8), 2),
+            "dispatch_fingerprint": fp,
+        },
+        "pairs": {"2->8": {"pairwise_speedup": pairwise}},
+        "hardware_ceiling": {"kernel_pair_efficiency": {"2->8": kc}},
+        "order_and_seen_identical": True,
+        "cpu_util_pinned_cores": {
+            "2": [0.99] * len(walls2),
+            "8": [0.9] * len(walls8),
+        },
+        "all_runs_wall_sec": {"2": walls2, "8": walls8},
+        "repeats": len(walls2),
+        "n_seeds": n_seeds,
+        "n_hosts": 10,
+        "dim_profile": "default",
+    }
+
+
+def _merge(tmp_path, runs, argv_extra=()):
+    paths = []
+    for i, r in enumerate(runs):
+        p = tmp_path / f"run{i}.json"
+        p.write_text(json.dumps(r))
+        paths.append(str(p))
+    import sys
+
+    old = sys.argv
+    sys.argv = ["merge_scaling_runs.py", *paths, *argv_extra]
+    try:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            msr.main()
+        return json.loads(buf.getvalue())
+    finally:
+        sys.argv = old
+
+
+def test_merge_median_over_union_of_pairs(tmp_path):
+    r1 = _mk_run([2.8, 3.0, 3.2], [100, 102, 104], [33, 34, 35])
+    r2 = _mk_run([3.4, 3.6, 3.8], [101, 103, 105], [30, 31, 32])
+    out = _merge(tmp_path, [r1, r2])
+    # union sorted: 2.8 3.0 3.2 3.4 3.6 3.8 -> median (3.2+3.4)/2 = 3.3
+    assert out["pairs"]["2->8"]["speedup_median_pairwise"] == pytest.approx(3.3)
+    assert out["scaling_efficiency"] == pytest.approx(3.3 / 4.0, abs=1e-3)
+    # min-per-level over the union of walls: 100 vs 30
+    assert out["local2"]["wall_sec"] == 100
+    assert out["local8"]["wall_sec"] == 30
+    assert out["criterion_pair"] == "2->8"
+    assert out["repeats"] == {"2": 6, "8": 6}
+
+
+def test_merge_refuses_fixture_mismatch(tmp_path):
+    r1 = _mk_run([3.0], [100], [33])
+    r2 = _mk_run([3.0], [100], [33], n_seeds=999)
+    with pytest.raises(SystemExit, match="fixture mismatch"):
+        _merge(tmp_path, [r1, r2])
+
+
+def test_merge_refuses_fingerprint_mismatch(tmp_path):
+    r1 = _mk_run([3.0], [100], [33], fp="aaa")
+    r2 = _mk_run([3.0], [100], [33], fp="bbb")
+    with pytest.raises(SystemExit, match="fingerprints differ"):
+        _merge(tmp_path, [r1, r2])
+
+
+def test_merge_clamps_superlinear_kernel_ceiling(tmp_path):
+    # a >1 "ceiling" is probe noise; normalization must not divide by it
+    r1 = _mk_run([3.2, 3.2, 3.2], [100], [31.25], kc=1.3)
+    r2 = _mk_run([3.2, 3.2, 3.2], [100], [31.25], kc=1.3)
+    out = _merge(tmp_path, [r1, r2])
+    eff = out["pairs"]["2->8"]["efficiency"]
+    assert out["pairs"]["2->8"]["efficiency_vs_hardware_ceiling"] == pytest.approx(eff)
+    assert out["pairs"]["2->8"]["kernel_ceiling_efficiency"] == 1.3  # raw kept
+    # a <1 ceiling still normalizes upward
+    r3 = _mk_run([3.2, 3.2, 3.2], [100], [31.25], kc=0.8)
+    out2 = _merge(tmp_path, [r3, r3])
+    assert out2["pairs"]["2->8"]["efficiency_vs_hardware_ceiling"] == pytest.approx(
+        eff / 0.8, abs=1e-3
+    )
+
+
+def test_merge_tolerates_log_prefix(tmp_path):
+    # load_summary accepts a tee'd log whose tail is the JSON summary
+    r1 = _mk_run([3.0], [100], [33])
+    p = tmp_path / "run.log"
+    p.write_text("LEG local[2] repeat 1: wall=100s\n" + json.dumps(r1, indent=2))
+    assert msr.load_summary(str(p))["n_seeds"] == r1["n_seeds"]
+
+
+# ------------------------------------------------------------ bench surface
+
+def test_bench_scaling_summary_shape():
+    import bench
+
+    s = bench._scaling_summary()
+    # repo SCALING.json always exists in this repo; the surface must
+    # carry the criterion fields the driver's BENCH json is judged on
+    assert s is not None
+    assert set(s) >= {
+        "criterion_pair",
+        "scaling_efficiency",
+        "order_and_seen_identical",
+        "urls_per_sec",
+        "estimator",
+    }
+    assert isinstance(s["urls_per_sec"], dict) and s["urls_per_sec"]
