@@ -75,18 +75,31 @@ def render(s: dict) -> str:
     return "\n".join(lines)
 
 
+def _argval(flag: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
 def main() -> int:
-    with open(os.path.join(REPO, "SCALING.json")) as f:
+    # --json PATH: render a result file other than SCALING.json
+    # --marker NAME: substitute a different BENCH.md marker (e.g.
+    #   SCALING_RESULTS_40K) so multiple fixture sizes coexist
+    json_path = _argval("--json", os.path.join(REPO, "SCALING.json"))
+    marker = "<!-- " + _argval("--marker", "SCALING_RESULTS") + " -->"
+    with open(json_path) as f:
         s = json.load(f)
-    md = render(s)
+    md = render(s).replace(MARKER, marker, 1)
     if "--write" in sys.argv:
         path = os.path.join(REPO, "BENCH.md")
         text = open(path).read()
-        # replace marker..(next heading) with rendered block
-        pat = re.compile(re.escape(MARKER) + r".*?(?=\n#|\Z)", re.S)
+        # replace marker..(next heading OR next marker) with the
+        # rendered block — stopping at the next `<!--` keeps sibling
+        # sections (the other fixture size, its prose) intact
+        pat = re.compile(re.escape(marker) + r".*?(?=\n#|\n<!--|\Z)", re.S)
         if not pat.search(text):
-            raise SystemExit("marker not found in BENCH.md")
-        open(path, "w").write(pat.sub(md, text, count=1))
+            raise SystemExit(f"marker {marker} not found in BENCH.md")
+        open(path, "w").write(pat.sub(md + "\n", text, count=1))
         print("BENCH.md updated")
     else:
         print(md)

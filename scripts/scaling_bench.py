@@ -428,7 +428,11 @@ def main() -> int:
         "dim_profile": os.environ.get("SCALING_DIM_PROFILE", "default"),
     }
     print(json.dumps(summary, indent=2))
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    # SCALING_OUT: alternate result path, so a follow-up fixture-size
+    # run (e.g. the pre-registered 40k measurement) does not clobber
+    # the merged criterion SCALING.json
+    out_path = os.environ.get("SCALING_OUT", os.path.join(REPO, "SCALING.json"))
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     return 0
 
