@@ -1,11 +1,24 @@
-"""Render SCALING.json as the BENCH.md results table.
+"""Render SCALING.json (or another scaling-run JSON) as a BENCH.md
+results table.
 
-Substitutes everything between the `<!-- SCALING_RESULTS -->` marker
-and the next heading (or appends after the marker if nothing follows).
+The rendered block is delimited by an explicit marker pair::
+
+    <!-- SCALING_RESULTS -->
+    ...rendered table...
+    <!-- /SCALING_RESULTS -->
+
+--write replaces exactly the span between the pair (hand-written
+prose outside the pair is never touched).  A bare begin marker with
+no end marker (first render into a fresh placeholder) is upgraded to
+a pair: the block replaces marker..(next heading or next comment),
+which is the legacy placeholder convention.
 
 Usage: python scripts/render_scaling_md.py [--write]
-  default prints the rendered markdown; --write edits BENCH.md in
-  place.
+           [--json PATH] [--marker NAME]
+  --json PATH    render a result file other than SCALING.json
+  --marker NAME  substitute a different BENCH.md marker (e.g.
+                 SCALING_RESULTS_40K) so multiple fixture sizes
+                 coexist
 """
 
 from __future__ import annotations
@@ -16,14 +29,14 @@ import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-MARKER = "<!-- SCALING_RESULTS -->"
+MARKER_NAME = "SCALING_RESULTS"
 
 
-def render(s: dict) -> str:
+def render(s: dict, marker_name: str = MARKER_NAME) -> str:
     levels = sorted(
         int(k[len("local"):]) for k in s if re.fullmatch(r"local\d+", k)
     )
-    lines = [MARKER, ""]
+    lines = [f"<!-- {marker_name} -->", ""]
     reps = s["repeats"]
     reps_txt = (
         ", ".join(f"local[{k}]×{v}" for k, v in sorted(reps.items(), key=lambda kv: int(kv[0])))
@@ -72,7 +85,26 @@ def render(s: dict) -> str:
         f"north rule)."
     )
     lines.append("")
+    lines.append(f"<!-- /{marker_name} -->")
     return "\n".join(lines)
+
+
+def substitute(text: str, block: str, marker_name: str) -> str:
+    """Replace the marker_name region of ``text`` with ``block``.
+
+    Prefers the exact begin..end marker pair; falls back to the legacy
+    bare-placeholder span (begin marker up to the next heading or
+    comment) when no end marker exists yet.
+    """
+    begin = re.escape(f"<!-- {marker_name} -->")
+    end = re.escape(f"<!-- /{marker_name} -->")
+    paired = re.compile(begin + r".*?" + end, re.S)
+    if paired.search(text):
+        return paired.sub(lambda _m: block, text, count=1)
+    bare = re.compile(begin + r".*?(?=\n#|\n<!--|\Z)", re.S)
+    if not bare.search(text):
+        raise SystemExit(f"marker <!-- {marker_name} --> not found in BENCH.md")
+    return bare.sub(lambda _m: block + "\n", text, count=1)
 
 
 def _argval(flag: str, default: str) -> str:
@@ -82,24 +114,15 @@ def _argval(flag: str, default: str) -> str:
 
 
 def main() -> int:
-    # --json PATH: render a result file other than SCALING.json
-    # --marker NAME: substitute a different BENCH.md marker (e.g.
-    #   SCALING_RESULTS_40K) so multiple fixture sizes coexist
     json_path = _argval("--json", os.path.join(REPO, "SCALING.json"))
-    marker = "<!-- " + _argval("--marker", "SCALING_RESULTS") + " -->"
+    marker_name = _argval("--marker", MARKER_NAME)
     with open(json_path) as f:
         s = json.load(f)
-    md = render(s).replace(MARKER, marker, 1)
+    md = render(s, marker_name)
     if "--write" in sys.argv:
         path = os.path.join(REPO, "BENCH.md")
         text = open(path).read()
-        # replace marker..(next heading OR next marker) with the
-        # rendered block — stopping at the next `<!--` keeps sibling
-        # sections (the other fixture size, its prose) intact
-        pat = re.compile(re.escape(marker) + r".*?(?=\n#|\n<!--|\Z)", re.S)
-        if not pat.search(text):
-            raise SystemExit(f"marker {marker} not found in BENCH.md")
-        open(path, "w").write(pat.sub(md + "\n", text, count=1))
+        open(path, "w").write(substitute(text, md, marker_name))
         print("BENCH.md updated")
     else:
         print(md)

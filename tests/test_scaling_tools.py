@@ -168,3 +168,50 @@ def test_bench_scaling_summary_shape():
         "estimator",
     }
     assert isinstance(s["urls_per_sec"], dict) and s["urls_per_sec"]
+
+
+# ------------------------------------------------------------ renderer
+
+rsm = _load("rsm_under_test", "scripts/render_scaling_md.py")
+
+
+def _rendered_block(tmp_path, marker="SCALING_RESULTS"):
+    summary = _merge(tmp_path, [_mk_run([3.0, 3.2], [100, 102], [33, 32])] * 2)
+    return rsm.render(summary, marker)
+
+
+def test_render_emits_marker_pair(tmp_path):
+    block = _rendered_block(tmp_path)
+    assert block.startswith("<!-- SCALING_RESULTS -->")
+    assert block.rstrip().endswith("<!-- /SCALING_RESULTS -->")
+
+
+def test_substitute_paired_region_preserves_outside_prose(tmp_path):
+    block = _rendered_block(tmp_path)
+    doc = (
+        "# Bench\n\n<!-- SCALING_RESULTS -->\nstale table\n"
+        "<!-- /SCALING_RESULTS -->\n\n**Interpretive prose.** kept\n\n"
+        "<!-- SCALING_RESULTS_40K -->\n\n## Next\n"
+    )
+    out = rsm.substitute(doc, block, "SCALING_RESULTS")
+    assert "stale table" not in out
+    assert "**Interpretive prose.** kept" in out  # NOT swallowed
+    assert "<!-- SCALING_RESULTS_40K -->" in out
+    # idempotent: substituting again yields the same document
+    assert rsm.substitute(out, block, "SCALING_RESULTS") == out
+
+
+def test_substitute_upgrades_bare_placeholder(tmp_path):
+    block = _rendered_block(tmp_path, "SCALING_RESULTS_40K")
+    doc = "pre\n\n<!-- SCALING_RESULTS_40K -->\n\n## Next heading\nbody\n"
+    out = rsm.substitute(doc, block, "SCALING_RESULTS_40K")
+    assert "<!-- /SCALING_RESULTS_40K -->" in out
+    assert "## Next heading\nbody" in out
+    # now paired: a second substitution is exact and idempotent
+    assert rsm.substitute(out, block, "SCALING_RESULTS_40K") == out
+
+
+def test_substitute_missing_marker_raises(tmp_path):
+    block = _rendered_block(tmp_path)
+    with pytest.raises(SystemExit):
+        rsm.substitute("# no marker here\n", block, "SCALING_RESULTS")
