@@ -136,6 +136,32 @@ def _scaling_summary() -> dict | None:
         },
         "estimator": s.get("estimator"),
     }
+    # Pre-registered fat-round follow-up point (BENCH.md scaling
+    # section): under the pre-registered evaluation rule the largest
+    # fixture's number is the criterion headline, so surface it here
+    # when its run has been recorded.
+    fat = os.path.join(os.path.dirname(path), ".scaling_40k.json")
+    if os.path.isfile(fat):
+        try:
+            s40 = json.load(open(fat))
+        except (OSError, ValueError):
+            s40 = None
+        if s40:
+            out["fat_round_40k"] = {
+                "n_seeds": s40.get("n_seeds"),
+                "criterion_pair": s40.get("criterion_pair"),
+                "scaling_efficiency": s40.get("scaling_efficiency"),
+                "order_and_seen_identical": s40.get("order_and_seen_identical"),
+                "urls_per_sec": {
+                    k[len("local"):]: s40[k].get("urls_per_sec")
+                    for k in s40
+                    if k.startswith("local") and isinstance(s40[k], dict)
+                },
+            }
+            out["criterion_headline"] = {
+                "rule": "largest pre-registered fixture, median same-window pairwise 2->8",
+                "scaling_efficiency": s40.get("scaling_efficiency"),
+            }
     return out
 
 

@@ -215,3 +215,20 @@ def test_substitute_missing_marker_raises(tmp_path):
     block = _rendered_block(tmp_path)
     with pytest.raises(SystemExit):
         rsm.substitute("# no marker here\n", block, "SCALING_RESULTS")
+
+
+def test_bench_surfaces_fat_round_point_when_recorded(tmp_path):
+    import bench
+
+    s = bench._scaling_summary()
+    assert s is not None
+    fat_file = os.path.join(REPO, ".scaling_40k.json")
+    if os.path.isfile(fat_file):
+        # pre-registered rule: the largest fixture's number is the headline
+        assert s["fat_round_40k"]["n_seeds"] == json.load(open(fat_file))["n_seeds"]
+        assert (
+            s["criterion_headline"]["scaling_efficiency"]
+            == s["fat_round_40k"]["scaling_efficiency"]
+        )
+    else:
+        assert "fat_round_40k" not in s
