@@ -49,17 +49,25 @@ def render(s: dict, marker_name: str = MARKER_NAME) -> str:
         f"{s['estimator']}."
     )
     lines.append("")
-    lines.append("| level | min wall (s) | URLs/s | all walls (s) | pinned-core util |")
-    lines.append("|---|---|---|---|---|")
+    # frontier-expansion wall-time is half the north-rule metric
+    # ("crawled URLs/sec + frontier-expansion wall-time"); show it per
+    # level when the run recorded it (older merged files may lack it)
+    has_expand = all("frontier_expand_sec" in s[f"local{k}"] for k in levels)
+    exp_hdr = " frontier-expand (s) |" if has_expand else ""
+    lines.append(
+        f"| level | min wall (s) | URLs/s |{exp_hdr} all walls (s) | pinned-core util |"
+    )
+    lines.append("|---|---|---|---|---|" + ("---|" if has_expand else ""))
     for k in levels:
         b = s[f"local{k}"]
         walls = ", ".join(f"{w:.0f}" for w in s["all_runs_wall_sec"][str(k)])
         utils = ", ".join(
             f"{u:.2f}" for u in s["cpu_util_pinned_cores"][str(k)] if u is not None
         )
+        exp = f" {b['frontier_expand_sec']:.2f} |" if has_expand else ""
         lines.append(
-            f"| local[{k}] | {b['wall_sec']:.1f} | {b['urls_per_sec']:.1f} "
-            f"| {walls} | {utils} |"
+            f"| local[{k}] | {b['wall_sec']:.1f} | {b['urls_per_sec']:.1f} |{exp}"
+            f" {walls} | {utils} |"
         )
     lines.append("")
     lines.append(

@@ -211,6 +211,19 @@ def test_substitute_upgrades_bare_placeholder(tmp_path):
     assert rsm.substitute(out, block, "SCALING_RESULTS_40K") == out
 
 
+def test_render_includes_frontier_expand_when_recorded(tmp_path):
+    # frontier-expansion wall-time is half the north-rule metric; a run
+    # that recorded it per level gets the column, a merged file that
+    # pre-dates the field renders without it
+    summary = _merge(tmp_path, [_mk_run([3.0, 3.2], [100, 102], [33, 32])] * 2)
+    assert "frontier-expand" not in rsm.render(summary, "SCALING_RESULTS")
+    summary["local2"]["frontier_expand_sec"] = 1.25
+    summary["local8"]["frontier_expand_sec"] = 0.41
+    block = rsm.render(summary, "SCALING_RESULTS")
+    assert "frontier-expand (s)" in block
+    assert "1.25" in block and "0.41" in block
+
+
 def test_substitute_missing_marker_raises(tmp_path):
     block = _rendered_block(tmp_path)
     with pytest.raises(SystemExit):
