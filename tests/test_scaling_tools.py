@@ -245,3 +245,52 @@ def test_bench_surfaces_fat_round_point_when_recorded(tmp_path):
         )
     else:
         assert "fat_round_40k" not in s
+
+
+# ------------------------------------------------- leg-log reconstruction
+
+rsc = _load("rsc_under_test", "scripts/reconstruct_scaling.py")
+
+_LOG = """\
+LEG local[2] repeat 1: wall=2200.0s util=0.98 fp=aaaa000011112222
+LEG local[8] repeat 1: wall=660.0s util=0.9 fp=aaaa000011112222
+LEG local[2] repeat 2: wall=2400.0s util=0.99 fp=aaaa000011112222
+LEG local[8] repeat 2: wall=700.0s util=0.89 fp=aaaa000011112222
+LEG local[2] repeat 3: wall=2310.0s util=0.97 fp=aaaa000011112222
+"""
+
+
+def test_reconstruct_pairs_only_complete_windows():
+    # the trailing unpaired local[2] leg must not enter the pairwise
+    # median (it has no same-window partner), but stays in all_runs
+    runs = rsc.parse_legs(_LOG)
+    s = rsc.summarize(runs, n_seeds=40000, n_hosts=1280)
+    pair = s["pairs"]["2->8"]
+    assert pair["n_complete_pairs"] == 2
+    assert pair["pairwise_speedup"] == [
+        round(2200.0 / 660.0, 3),
+        round(2400.0 / 700.0, 3),
+    ]
+    # median of two = mean; efficiency = median/4
+    med = (pair["pairwise_speedup"][0] + pair["pairwise_speedup"][1]) / 2
+    assert pair["speedup_median_pairwise"] == round(med, 3)
+    assert s["scaling_efficiency"] == round(med / 4.0, 3)
+    assert s["all_runs_wall_sec"][2] == [2200.0, 2400.0, 2310.0]
+    assert s["repeats"] == {2: 3, 8: 2}
+    assert s["order_and_seen_identical"] is True
+    assert s["reconstructed_from_log"] is True
+    # fields only the final JSON knows stay null, never fabricated
+    assert s["hardware_ceiling"] is None
+    assert pair["kernel_ceiling_efficiency"] is None
+
+
+def test_reconstruct_flags_fingerprint_mismatch():
+    runs = rsc.parse_legs(_LOG.replace("fp=aaaa000011112222\nLEG local[2] repeat 3", "fp=bbbb000011112222\nLEG local[2] repeat 3", 1))
+    s = rsc.summarize(runs, 40000, 1280)
+    assert s["order_and_seen_identical"] is False
+
+
+def test_reconstruct_refuses_without_complete_pair():
+    runs = rsc.parse_legs("LEG local[2] repeat 1: wall=100.0s util=0.9 fp=ab12\n")
+    with pytest.raises(SystemExit):
+        rsc.summarize(runs, 40000, 1280)
