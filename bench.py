@@ -111,13 +111,15 @@ def bench_crawl(spark, n_seeds: int = 800, n_hosts: int = 64, n_images: int = 15
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _scaling_summary() -> dict | None:
+def _scaling_summary(repo_dir: str | None = None) -> dict | None:
     """North-rule scaling evidence from the repo's SCALING.json, if a
     multi-level run has been recorded (scripts/scaling_bench.py +
     scripts/merge_scaling_runs.py).  Surfaced here so the one-line
     bench JSON carries the two-cluster-size criterion alongside the
     single-level walls; full provenance stays in SCALING.json."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if repo_dir is None:
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(repo_dir, "SCALING.json")
     if not os.path.isfile(path):
         return None
     try:
@@ -147,9 +149,11 @@ def _scaling_summary() -> dict | None:
         except (OSError, ValueError):
             s40 = None
         if s40:
+            crit = s40.get("criterion_pair")
+            crit_pair = (s40.get("pairs") or {}).get(crit, {})
             out["fat_round_40k"] = {
                 "n_seeds": s40.get("n_seeds"),
-                "criterion_pair": s40.get("criterion_pair"),
+                "criterion_pair": crit,
                 "scaling_efficiency": s40.get("scaling_efficiency"),
                 "order_and_seen_identical": s40.get("order_and_seen_identical"),
                 "urls_per_sec": {
@@ -158,6 +162,15 @@ def _scaling_summary() -> dict | None:
                     if k.startswith("local") and isinstance(s40[k], dict)
                 },
             }
+            # provenance for a partial/in-flight measurement: a summary
+            # reconstructed from the per-leg log (run still in flight or
+            # interrupted) must not read as a finished 3-pair result
+            if s40.get("reconstructed_from_log"):
+                out["fat_round_40k"]["reconstructed_from_log"] = True
+            if "n_complete_pairs" in crit_pair:
+                out["fat_round_40k"]["n_complete_pairs"] = crit_pair[
+                    "n_complete_pairs"
+                ]
             out["criterion_headline"] = {
                 "rule": "largest pre-registered fixture, median same-window pairwise 2->8",
                 "scaling_efficiency": s40.get("scaling_efficiency"),

@@ -7,10 +7,23 @@ recomputes the median-pairwise headline over the union.  Refuses to
 merge runs whose fixture signature or dispatch fingerprints differ —
 combining is only valid for the identical engine + identical input.
 
-Usage: python scripts/merge_scaling_runs.py RUN1.json RUN2.json ... [--write]
+Usage: python scripts/merge_scaling_runs.py RUN1.json RUN2.json ...
+           [--write] [--drop-repeat RUN:REP ...]
   each RUNx.json is a scaling_bench summary (the final JSON block of a
   tee'd log is fine if the file is just that JSON); --write saves to
   repo SCALING.json, else prints.
+
+  --drop-repeat RUN:REP (0-based, repeatable) excludes repeat REP of
+  run RUN from every level and from the pairwise median — for a repeat
+  whose legs overlapped unrelated whole-host load (e.g. the round-end
+  driver bench/test sweep): core pinning isolates legs from each
+  other, not from host-wide bursts, and a burst landing on ONE leg of
+  a pair skews that pair's ratio in an unknowable direction.  Dropped
+  repeats are recorded (run, repeat, walls) in the output under
+  ``dropped_repeats`` so the exclusion is auditable, and pairwise
+  ratios for a run with drops are recomputed from the repeat-ordered
+  ``all_runs_wall_sec`` lists (the stored ``pairwise_speedup`` is
+  sorted, so repeat identity only survives in the wall lists).
 """
 
 from __future__ import annotations
@@ -44,13 +57,45 @@ def load_summary(path: str) -> dict:
     return json.loads(text)
 
 
+def _parse_drops(argv: list[str]) -> set[tuple[int, int]]:
+    drops: set[tuple[int, int]] = set()
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--drop-repeat":
+            try:
+                run_s, rep_s = argv[i + 1].split(":")
+                drops.add((int(run_s), int(rep_s)))
+            except (IndexError, ValueError):
+                raise SystemExit("--drop-repeat wants RUN:REP (0-based ints)")
+            i += 2
+        else:
+            i += 1
+    return drops
+
+
 def main() -> int:
-    paths = [a for a in sys.argv[1:] if a != "--write"]
+    drops = _parse_drops(sys.argv[1:])
+    skip_next = False
+    paths = []
+    for a in sys.argv[1:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--drop-repeat":
+            skip_next = True
+            continue
+        if a != "--write":
+            paths.append(a)
     if len(paths) < 2:
         raise SystemExit("need >=2 run summaries")
     runs = [load_summary(p) for p in paths]
+    bad = {ri for ri, _ in drops if ri >= len(runs)}
+    if bad:
+        raise SystemExit(f"--drop-repeat run index out of range: {sorted(bad)}")
 
-    sig = {(r["n_seeds"], r["n_hosts"], r["dim_profile"]) for r in runs}
+    sig = {
+        (r["n_seeds"], r["n_hosts"], r.get("dim_profile", "default")) for r in runs
+    }
     if len(sig) != 1:
         raise SystemExit(f"fixture mismatch across runs: {sig}")
     if not all(r["order_and_seen_identical"] for r in runs):
@@ -70,31 +115,83 @@ def main() -> int:
     walls: dict[int, list[float]] = {k: [] for k in levels}
     utils: dict[int, list[float]] = {k: [] for k in levels}
     pairwise: dict[str, list[float]] = {}
-    n_dispatched = runs[0][f"local{levels[0]}"]["n_dispatched"]
-    for r in runs:
-        for k in levels:
-            if f"local{k}" not in r:
-                continue
-            walls[k] += r["all_runs_wall_sec"][str(k)]
+    # a reconstructed partial knows only walls; take the dispatch count
+    # from the first run that recorded it
+    n_dispatched = next(
+        (
+            r[f"local{levels[0]}"]["n_dispatched"]
+            for r in runs
+            if "n_dispatched" in r.get(f"local{levels[0]}", {})
+        ),
+        None,
+    )
+    dropped: list[dict] = []
+    for ri, r in enumerate(runs):
+        r_levels = [k for k in levels if f"local{k}" in r]
+        r_walls = {k: r["all_runs_wall_sec"][str(k)] for k in r_levels}
+        r_utils = {k: r["cpu_util_pinned_cores"][str(k)] for k in r_levels}
+        drop_idx = sorted(j for rj, j in drops if rj == ri)
+        oob = [j for j in drop_idx if all(j >= len(r_walls[k]) for k in r_levels)]
+        if oob:
+            raise SystemExit(
+                f"--drop-repeat repeat index out of range for run {ri}: {oob}"
+            )
+        for j in drop_idx:
+            dropped.append(
+                {
+                    "run": ri,
+                    "repeat": j,
+                    "walls": {
+                        str(k): r_walls[k][j]
+                        for k in r_levels
+                        if j < len(r_walls[k])
+                    },
+                }
+            )
+        kept = {
+            k: [w for j, w in enumerate(r_walls[k]) if j not in drop_idx]
+            for k in r_levels
+        }
+        for k in r_levels:
+            walls[k] += kept[k]
             utils[k] += [
-                u for u in r["cpu_util_pinned_cores"][str(k)] if u is not None
+                u
+                for j, u in enumerate(r_utils[k])
+                if j not in drop_idx and u is not None
             ]
-        for pname, p in r.get("pairs", {}).items():
-            pairwise.setdefault(pname, []).extend(p["pairwise_speedup"])
+        if drop_idx:
+            # the stored pairwise list is sorted (repeat identity lost);
+            # recompute this run's same-window ratios from the
+            # repeat-ordered wall lists with the dropped repeats removed
+            for n in r_levels:
+                if 4 * n not in r_levels:
+                    continue
+                pairwise.setdefault(f"{n}->{4 * n}", []).extend(
+                    round(a / b, 3) for a, b in zip(kept[n], kept[4 * n])
+                )
+        else:
+            for pname, p in r.get("pairs", {}).items():
+                pairwise.setdefault(pname, []).extend(p["pairwise_speedup"])
 
     best = {
         k: {
             "cpus": k,
             "n_dispatched": n_dispatched,
             "wall_sec": min(walls[k]),
-            "urls_per_sec": round(n_dispatched / min(walls[k]), 2),
+            "urls_per_sec": (
+                round(n_dispatched / min(walls[k]), 2) if n_dispatched else None
+            ),
             "dispatch_fingerprint": next(iter(fps)),
         }
         for k in levels
     }
     # hardware ceiling: latest run's probe (noisy per-window; earlier
-    # probes preserved under provenance)
-    ceiling = runs[-1]["hardware_ceiling"]
+    # probes preserved under provenance); reconstructed partials have
+    # none
+    ceiling = next(
+        (r["hardware_ceiling"] for r in reversed(runs) if r.get("hardware_ceiling")),
+        None,
+    )
     pairs = {}
     for pname, pw in pairwise.items():
         n = int(pname.split("->")[0])
@@ -102,8 +199,10 @@ def main() -> int:
         med = pw[len(pw) // 2] if len(pw) % 2 else (pw[len(pw) // 2 - 1] + pw[len(pw) // 2]) / 2
         eff = med / 4.0
         hi = int(pname.split("->")[1])
-        eff_min = (best[hi]["urls_per_sec"] / best[n]["urls_per_sec"]) / 4.0
-        kc = ceiling.get("kernel_pair_efficiency", {}).get(pname)
+        # walls, not urls_per_sec: identical fixture means the dispatch
+        # count cancels, and a reconstructed partial has no URLs/s
+        eff_min = (min(walls[n]) / min(walls[hi])) / 4.0
+        kc = (ceiling or {}).get("kernel_pair_efficiency", {}).get(pname)
         # A measured kernel "ceiling" above 1.0 is probe noise (no kernel
         # scales superlinearly on 4x cores); the true ceiling is <=1, so
         # clamp for the normalization while reporting the raw probe.
@@ -137,14 +236,17 @@ def main() -> int:
                 "levels": sorted(
                     int(k[len("local"):]) for k in r if re.fullmatch(r"local\d+", k)
                 ),
-                "hardware_ceiling": r["hardware_ceiling"],
+                "hardware_ceiling": r.get("hardware_ceiling"),
+                "reconstructed_from_log": bool(r.get("reconstructed_from_log")),
             }
             for r in runs
         ],
         "n_seeds": runs[0]["n_seeds"],
         "n_hosts": runs[0]["n_hosts"],
-        "dim_profile": runs[0]["dim_profile"],
+        "dim_profile": runs[0].get("dim_profile", "default"),
     }
+    if dropped:
+        summary["dropped_repeats"] = dropped
     out = json.dumps(summary, indent=2)
     if "--write" in sys.argv:
         with open(os.path.join(REPO, "SCALING.json"), "w") as f:

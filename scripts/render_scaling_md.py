@@ -37,6 +37,16 @@ def render(s: dict, marker_name: str = MARKER_NAME) -> str:
         int(k[len("local"):]) for k in s if re.fullmatch(r"local\d+", k)
     )
     lines = [f"<!-- {marker_name} -->", ""]
+    if s.get("reconstructed_from_log"):
+        crit = (s.get("pairs") or {}).get(s.get("criterion_pair"), {})
+        npairs = crit.get("n_complete_pairs")
+        lines.append(
+            f"**PARTIAL — reconstructed from the per-leg log** "
+            f"({npairs if npairs is not None else '?'} complete "
+            f"criterion pair(s); run interrupted or still in flight). "
+            f"Not the finished pre-registered measurement."
+        )
+        lines.append("")
     reps = s["repeats"]
     reps_txt = (
         ", ".join(f"local[{k}]×{v}" for k, v in sorted(reps.items(), key=lambda kv: int(kv[0])))
@@ -65,8 +75,13 @@ def render(s: dict, marker_name: str = MARKER_NAME) -> str:
             f"{u:.2f}" for u in s["cpu_util_pinned_cores"][str(k)] if u is not None
         )
         exp = f" {b['frontier_expand_sec']:.2f} |" if has_expand else ""
+        # a summary reconstructed from the per-leg log knows only walls
+        # (URLs/s needs the worker's dispatch count, which only the
+        # final JSON records)
+        ups = b.get("urls_per_sec")
         lines.append(
-            f"| local[{k}] | {b['wall_sec']:.1f} | {b['urls_per_sec']:.1f} |{exp}"
+            f"| local[{k}] | {b['wall_sec']:.1f} | "
+            f"{f'{ups:.1f}' if ups is not None else '—'} |{exp}"
             f" {walls} | {utils} |"
         )
     lines.append("")

@@ -143,6 +143,65 @@ def test_merge_clamps_superlinear_kernel_ceiling(tmp_path):
     )
 
 
+def test_merge_drop_repeat_excludes_contaminated_pair(tmp_path):
+    # repeat 1 of run 0 overlapped a host-wide load burst: dropping it
+    # must remove its walls from every level, recompute run 0's
+    # pairwise ratios from the repeat-ordered wall lists (the stored
+    # sorted pairwise no longer identifies repeats), and record the
+    # exclusion under dropped_repeats for audit
+    r1 = _mk_run([2.0, 3.0, 9.9], [100, 990, 102], [50, 100, 34])
+    r2 = _mk_run([3.4], [101], [29.7])
+    out = _merge(tmp_path, [r1, r2], argv_extra=("--drop-repeat", "0:1"))
+    # run0 recomputed from walls minus repeat 1: 100/50=2.0, 102/34=3.0
+    # union with run1's stored [3.4] -> sorted [2.0, 3.0, 3.4] -> median 3.0
+    assert out["pairs"]["2->8"]["pairwise_speedup"] == [2.0, 3.0, 3.4]
+    assert out["pairs"]["2->8"]["speedup_median_pairwise"] == pytest.approx(3.0)
+    assert out["all_runs_wall_sec"]["2"] == [100, 102, 101]
+    assert out["all_runs_wall_sec"]["8"] == [50, 34, 29.7]
+    assert out["repeats"] == {"2": 3, "8": 3}
+    assert out["dropped_repeats"] == [
+        {"run": 0, "repeat": 1, "walls": {"2": 990, "8": 100}}
+    ]
+    # min-per-level must not see the dropped 990s wall
+    assert out["local2"]["wall_sec"] == 100
+
+
+def test_merge_drop_repeat_out_of_range(tmp_path):
+    r1 = _mk_run([3.0], [100], [33])
+    r2 = _mk_run([3.0], [100], [33])
+    with pytest.raises(SystemExit, match="out of range"):
+        _merge(tmp_path, [r1, r2], argv_extra=("--drop-repeat", "0:5"))
+    with pytest.raises(SystemExit, match="out of range"):
+        _merge(tmp_path, [r1, r2], argv_extra=("--drop-repeat", "7:0"))
+
+
+def test_merge_accepts_reconstructed_partial(tmp_path):
+    # a run that died late is reconstructed from its leg log: no
+    # n_dispatched, no hardware_ceiling, no dim_profile.  Merging it
+    # with a finished run must take the dispatch count and ceiling
+    # from the finished run and mark the partial in provenance.
+    full = _mk_run([3.0, 3.2], [100, 102], [33, 32], fp="ab12cd34")
+    partial = json.loads(
+        json.dumps(
+            rsc.summarize(
+                rsc.parse_legs(
+                    "LEG local[2] repeat 1: wall=99.0s util=0.98 fp=ab12cd34\n"
+                    "LEG local[8] repeat 1: wall=30.0s util=0.9 fp=ab12cd34\n"
+                ),
+                n_seeds=100,
+                n_hosts=10,
+            )
+        )
+    )
+    out = _merge(tmp_path, [partial, full])
+    assert out["pairs"]["2->8"]["pairwise_speedup"] == [3.0, 3.2, 3.3]
+    assert out["local2"]["n_dispatched"] == 100
+    assert out["local8"]["urls_per_sec"] is not None
+    assert out["hardware_ceiling"] == full["hardware_ceiling"]
+    assert out["merged_from_runs"][0]["reconstructed_from_log"] is True
+    assert out["merged_from_runs"][1]["reconstructed_from_log"] is False
+
+
 def test_merge_tolerates_log_prefix(tmp_path):
     # load_summary accepts a tee'd log whose tail is the JSON summary
     r1 = _mk_run([3.0], [100], [33])
@@ -230,6 +289,37 @@ def test_substitute_missing_marker_raises(tmp_path):
         rsm.substitute("# no marker here\n", block, "SCALING_RESULTS")
 
 
+def test_bench_labels_partial_fat_round_provenance(tmp_path):
+    # a 40k summary reconstructed from the per-leg log (run in flight or
+    # interrupted) must carry its provenance into the bench surface, so
+    # a 1-pair partial can never read as a finished 3-pair measurement
+    import bench
+
+    base = _mk_run([3.0], [100], [33])
+    (tmp_path / "SCALING.json").write_text(json.dumps(base))
+    partial = {
+        **base,
+        "criterion_pair": "2->8",
+        "scaling_efficiency": 0.9,
+        "reconstructed_from_log": True,
+        "pairs": {
+            "2->8": {
+                **base["pairs"]["2->8"],
+                "n_complete_pairs": 1,
+            }
+        },
+    }
+    (tmp_path / ".scaling_40k.json").write_text(json.dumps(partial))
+    s = bench._scaling_summary(str(tmp_path))
+    assert s["fat_round_40k"]["reconstructed_from_log"] is True
+    assert s["fat_round_40k"]["n_complete_pairs"] == 1
+    # a finished run (no provenance flags) stays unlabeled
+    (tmp_path / ".scaling_40k.json").write_text(json.dumps(base))
+    s2 = bench._scaling_summary(str(tmp_path))
+    assert "reconstructed_from_log" not in s2["fat_round_40k"]
+    assert "n_complete_pairs" not in s2["fat_round_40k"]
+
+
 def test_bench_surfaces_fat_round_point_when_recorded(tmp_path):
     import bench
 
@@ -288,6 +378,21 @@ def test_reconstruct_flags_fingerprint_mismatch():
     runs = rsc.parse_legs(_LOG.replace("fp=aaaa000011112222\nLEG local[2] repeat 3", "fp=bbbb000011112222\nLEG local[2] repeat 3", 1))
     s = rsc.summarize(runs, 40000, 1280)
     assert s["order_and_seen_identical"] is False
+
+
+def test_render_reconstructed_partial_summary():
+    # the real flow: reconstruct --out FILE, then render --json FILE —
+    # so the summary round-trips through JSON (str keys).  A partial
+    # knows only walls; the renderer must label it PARTIAL and show an
+    # em-dash for the URLs/s it cannot know, not crash.
+    runs = rsc.parse_legs(_LOG)
+    s = json.loads(json.dumps(rsc.summarize(runs, n_seeds=40000, n_hosts=1280)))
+    block = rsm.render(s, "SCALING_RESULTS_40K")
+    assert "PARTIAL — reconstructed from the per-leg log" in block
+    assert "2 complete" in block
+    assert "| local[2] | 2200.0 | — |" in block
+    assert block.startswith("<!-- SCALING_RESULTS_40K -->")
+    assert block.rstrip().endswith("<!-- /SCALING_RESULTS_40K -->")
 
 
 def test_reconstruct_refuses_without_complete_pair():
