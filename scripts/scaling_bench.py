@@ -422,7 +422,10 @@ def main() -> int:
         },
         "all_runs_wall_sec": {c: [r["wall_sec"] for r in rs] for c, rs in runs.items()},
         "repeats": repeats,
-        "estimator": "min wall per level across repeats (noisy-host)",
+        "estimator": (
+            "median of same-window pairwise ratios "
+            "(min wall per level also reported)"
+        ),
         "n_seeds": N_SEEDS,
         "n_hosts": N_HOSTS,
         "dim_profile": os.environ.get("SCALING_DIM_PROFILE", "default"),
