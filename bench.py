@@ -41,6 +41,8 @@ HEADLINE = [
     "q_order_by",
     "q_host_budget_topk",
     "q_sessionize",
+    "q_asof_join",
+    "q_shard_pack",
     "q_crawl_round",
     "q_frontier_expand",
     "q_extract_office",

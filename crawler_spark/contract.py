@@ -23,6 +23,7 @@ from .functions import neardup as ND
 from .functions import similarity as SIM
 from .functions import text as TX
 from .functions.multimodal import attach_synthetic_images, decode_meta
+from .functions.temporal import asof_join
 from .operators.extract import extract_number, take_before, with_page_param
 from .operators.ranking import SMALL_SEQ_MAX_ROWS, global_sequence
 
@@ -316,6 +317,51 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """As-of (backward) join: each click event picks up the most recent
+    prior-or-equal view by the same user — functions.temporal.asof_join
+    (union + ONE keyed window; no inequality-join pair explosion).
+    Views are deduped per (user, ts) so the match is well-defined in
+    both engines (DuckDB oracle: native ASOF LEFT JOIN)."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    # left-join misses encoded null-free (matched flag + sentinels):
+    # cross-engine value-hashing of NULL ints/timestamps is
+    # representation-dependent (pandas NaN/NaT), sentinels are not
+    return (
+        asof_join(clicks, views, ["user_id"], "ts", ["view_event_id", "view_ts"])
+        .withColumn("matched", F.col("view_event_id").isNotNull())
+        .withColumn("view_event_id", F.coalesce("view_event_id", F.lit(-1)))
+        .withColumn(
+            "view_ts",
+            F.coalesce("view_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))),
+        )
+        .select("event_id", "user_id", "ts", "matched", "view_event_id", "view_ts")
+    )
+
+
+def q_shard_pack(spark, sf):
+    """Training-shard packing (beyond-reference LLM-data op): documents
+    in doc_id order fill contiguous 2048-token shards — shard_id =
+    exclusive-prefix-tokens div budget via the distributed prefix sum
+    (operators.ranking.running_total; no single-partition window, so
+    the identical assignment holds at 10^10 docs)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", TX.token_count("text").alias("n_tokens")
+    )
+    return TX.pack_shards(docs, "n_tokens", 2048).select(
+        "doc_id", "n_tokens", "shard_id"
+    )
+
+
 def q_crawl_round(spark, sf):
     """Flagship composite — one politeness-budgeted crawl round over
     relational fixtures: frontier=orders (host=o_custkey), budget 2/host,
@@ -524,6 +570,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_by": q_order_by,
     "q_host_budget_topk": q_host_budget_topk,
     "q_sessionize": q_sessionize,
+    "q_asof_join": q_asof_join,
+    "q_shard_pack": q_shard_pack,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -701,6 +749,26 @@ ORACLES: dict[str, str] = {
         FROM (SELECT user_id, event_id, ts,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
               FROM events)
+    """,
+    "q_asof_join": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts,
+               v.view_event_id IS NOT NULL AS matched,
+               COALESCE(v.view_event_id, -1) AS view_event_id,
+               COALESCE(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts
+        FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "q_shard_pack": r"""
+        WITH t AS (SELECT doc_id,
+                          cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                   FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+                    AS BIGINT) AS shard_id
+        FROM t
     """,
     "q_crawl_round": """
         WITH ranked AS (

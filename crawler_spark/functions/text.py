@@ -162,3 +162,33 @@ def rolling_fingerprint(col: Column | str, n: int = 8, portable: bool = False) -
     return F.when(F.size(hashes) > 0, F.array_min(hashes)).otherwise(
         hf(norm_text(col))
     ).cast("long")
+
+
+def pack_shards(
+    docs,
+    token_col: str,
+    budget: int,
+    order_keys: tuple[str, ...] = ("doc_id",),
+    shard_col: str = "shard_id",
+    small: bool = False,
+):
+    """Token-budget training-shard assignment: documents, taken in the
+    deterministic ``order_keys`` order, are packed contiguously into
+    shards of ``budget`` tokens — a row belongs to the shard its first
+    token lands in (``exclusive_prefix_tokens div budget``), so shards
+    fill to >= budget before rolling over and assignment needs no
+    sequential scan.
+
+    Built on operators.ranking.running_total (distributed exclusive
+    prefix sum, no single-partition window, parallelism-invariant), so
+    the same assignment holds at 10^10 documents.  Integer arithmetic
+    end-to-end — cross-engine reproducible (DuckDB: ``prefix //
+    budget``)."""
+    from ..operators.ranking import running_total
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out = running_total(docs, list(order_keys), token_col, "_pfx", small=small)
+    return out.withColumn(
+        shard_col, F.expr(f"_pfx div {int(budget)}").cast("long")
+    ).drop("_pfx")

@@ -51,6 +51,25 @@ from pyspark.sql import functions as F
 SMALL_SEQ_MAX_ROWS = 1_000_000
 
 
+def _range_bucket(df: DataFrame, last: str, buckets: int):
+    """Deterministic value-range bucket expression for the final sort
+    key (shared by global_sequence and running_total — see module
+    docstring for why this must be sampling-free)."""
+    mn, mx = df.agg(F.min(last), F.max(last)).first()
+    if mn is None or mn == mx:
+        return F.lit(0).cast("int")
+    span = float(mx) - float(mn)
+    # double-precision binning of an integer key is monotone
+    # non-decreasing, which is all the bucketing needs
+    return F.least(
+        F.lit(buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(last).cast("double") - float(mn)) / span * buckets),
+        ),
+    ).cast("int")
+
+
 def global_sequence(
     df: DataFrame,
     keys: list[str],
@@ -69,23 +88,7 @@ def global_sequence(
         return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
 
     pre, last = keys[:-1], keys[-1]
-    mn, mx = df.agg(F.min(last), F.max(last)).first()
-    if mn is None or mn == mx:
-        bkt = F.lit(0)
-    else:
-        span = float(mx) - float(mn)
-        # double-precision binning of an integer key is monotone
-        # non-decreasing, which is all the bucketing needs
-        bkt = F.least(
-            F.lit(buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(last).cast("double") - float(mn)) / span * buckets
-                ),
-            ),
-        ).cast("int")
-    b = df.withColumn("_bkt", bkt)
+    b = df.withColumn("_bkt", _range_bucket(df, last, buckets))
 
     # running sum over the global (pre…, _bkt) order; the counts frame
     # is combos × B rows, so the single-partition window is trivial
@@ -105,4 +108,63 @@ def global_sequence(
         .join(F.broadcast(off_df), [*pre, "_bkt"])
         .withColumn(seq_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_bkt", "_rn", "_off")
+    )
+
+
+def running_total(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    out_col: str = "running_total",
+    small: bool = False,
+    buckets: int = 256,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``val_col`` over the global ``keys``
+    order — global_sequence generalized from prefix COUNT to prefix SUM
+    (the numbering is the ``val=1`` special case), with the identical
+    deterministic value-range-bucket scheme and the same total-order
+    contract on ``keys``.
+
+    Row i gets ``sum(val over all rows strictly before i)`` — 0 for the
+    first row.  Exclusive (not inclusive) because the main consumer is
+    boundary assignment (token-budget shard packing: a row belongs to
+    the shard its FIRST token lands in), and the inclusive form is just
+    ``out + val``.
+
+    Scale shape: one agg for (min, max), per-(prefix, bucket) partial
+    sums → exclusive offsets via a window over the tiny counts frame,
+    one intra-bucket exclusive-sum window — no single-partition window
+    over the data, no sampling, bit-identical at any parallelism
+    (pinned in tests/test_operators.py)."""
+    if small:
+        w = Window.orderBy(*[F.col(k).asc() for k in keys]).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return df.withColumn(
+            out_col, F.coalesce(F.sum(val_col).over(w), F.lit(0)).cast("long")
+        )
+
+    pre, last = keys[:-1], keys[-1]
+    b = df.withColumn("_bkt", _range_bucket(df, last, buckets))
+
+    w_off = Window.orderBy(
+        *[F.col(k).asc() for k in pre], F.col("_bkt").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        b.groupBy(*pre, "_bkt")
+        .agg(F.sum(val_col).alias("_bsum"))
+        .withColumn("_off", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)))
+        .drop("_bsum")
+    )
+
+    w = (
+        Window.partitionBy(*pre, "_bkt")
+        .orderBy(F.col(last).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.withColumn("_run", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+        .join(F.broadcast(off_df), [*pre, "_bkt"])
+        .withColumn(out_col, (F.col("_run") + F.col("_off")).cast("long"))
+        .drop("_bkt", "_run", "_off")
     )

@@ -266,3 +266,82 @@ def test_video_container_rejects_foreign_magic():
         list(V.iter_frame_offsets(b"garbage-neither-container"))
     meta = V.probe(V.gen_video(42, 9, 16, 12, n_frames=5))
     assert meta == {"n_frames": 5, "fps": 8, "w": 16, "h": 12}
+
+
+def test_pack_shards_properties(spark):
+    """Contiguity + budget semantics: shard ids are non-decreasing in
+    doc order, start at 0, and each shard's docs START below the next
+    budget boundary (a doc belongs to the shard its first token lands
+    in; shards may overflow past the boundary, never underfill it)."""
+    import random
+
+    from crawler_spark.functions.text import pack_shards
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1, 700)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long")
+    budget = 1000
+    got = sorted(
+        pack_shards(df, "n_tokens", budget).collect(), key=lambda r: r["doc_id"]
+    )
+    run = 0
+    prev_shard = 0
+    for r in got:
+        assert r["shard_id"] == run // budget, r
+        assert r["shard_id"] >= prev_shard
+        prev_shard = r["shard_id"]
+        run += r["n_tokens"]
+    assert got[0]["shard_id"] == 0 and prev_shard > 0
+    # small path identical
+    small = sorted(
+        pack_shards(df, "n_tokens", budget, small=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["shard_id"] for r in small] == [r["shard_id"] for r in got]
+
+
+def test_asof_join_matches_bruteforce(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from crawler_spark.functions.temporal import asof_join
+
+    rng = random.Random(11)
+    t0 = datetime(2024, 1, 1)
+    # right: unique (key, ts) as required by the operator contract
+    right_rows = sorted(
+        {(k, rng.randrange(0, 5000)) for k in range(5) for _ in range(40)}
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), 100000 + i) for i, (k, s) in enumerate(right_rows)],
+        "k: int, ts: timestamp, v: long",
+    )
+    left = spark.createDataFrame(
+        [(i, rng.randrange(0, 5), t0 + timedelta(seconds=rng.randrange(0, 5200))) for i in range(300)],
+        "lid: long, k: int, ts: timestamp",
+    )
+    got = {r["lid"]: r["v"] for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()}
+    rmap = {}
+    for i, (k, s) in enumerate(right_rows):
+        rmap.setdefault(k, []).append((t0 + timedelta(seconds=s), 100000 + i))
+    for row in left.collect():
+        # the as-of winner is the LATEST ts <= left.ts
+        want = None
+        best = None
+        for ts, v in rmap.get(row["k"], []):
+            if ts <= row["ts"] and (best is None or ts > best):
+                best, want = ts, v
+        assert got[row["lid"]] == want, (row, want, got[row["lid"]])
+    # exactly one output row per left row
+    assert len(got) == 300
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    from crawler_spark.functions.temporal import asof_join
+
+    df = spark.createDataFrame([(1, 2)], "k: int, v: int")
+    ts = df.withColumn("ts", df["v"].cast("timestamp"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ts, ts, ["k"], "ts", ["v"])

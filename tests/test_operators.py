@@ -330,3 +330,45 @@ def test_dedup_keys_preference(spark):
     assert len(got) == 2
     assert (got[1]["attempts"], got[1]["round_added"]) == (2, 5)
     assert got[2]["round_added"] == 4
+
+
+# ---- distributed exclusive prefix sum (running_total)
+def test_running_total_matches_single_window(spark):
+    import random
+
+    from crawler_spark.operators.ranking import running_total
+
+    rng = random.Random(7)
+    rows = [(i % 4, rng.randrange(10**9), rng.randrange(1, 500)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp: int, k: long, v: long").persist()
+    keys = ["grp", "k"]
+    truth = {
+        (r["grp"], r["k"]): r["running_total"]
+        for r in running_total(df, keys, "v", small=True).collect()
+    }
+    # first row of the global order gets 0; last prefix < total
+    assert min(truth.values()) == 0
+    # bucketed path: identical at any partitioning / bucket count
+    for nparts, buckets in ((3, 256), (17, 16)):
+        got = {
+            (r["grp"], r["k"]): r["running_total"]
+            for r in running_total(
+                df.repartition(nparts), keys, "v", buckets=buckets
+            ).collect()
+        }
+        assert got == truth, f"prefix sums differ at {nparts=} {buckets=}"
+    df.unpersist()
+
+
+def test_running_total_consistent_with_global_sequence(spark):
+    """val=1 must reproduce global_sequence - 1 (exclusive prefix count)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.ranking import global_sequence, running_total
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.lit(1).alias("one")
+    )
+    seq = {r["k"]: r["seq"] for r in global_sequence(df, ["k"]).collect()}
+    pfx = {r["k"]: r["running_total"] for r in running_total(df, ["k"], "one").collect()}
+    assert pfx == {k: s - 1 for k, s in seq.items()}
