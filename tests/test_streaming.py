@@ -1,0 +1,183 @@
+"""Structured Streaming surface: stream/batch equivalence, watermark
+late-data semantics, streaming dedup, and exactly-once sink replay."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark import streaming as ST
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+T0 = datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _write_batch(spark, path, rows, name):
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(os.path.join(path, name))
+    # file source watches one directory level: move part files up
+    src = glob.glob(os.path.join(path, name, "part-*.parquet"))
+    assert src
+    os.replace(src[0], os.path.join(path, f"{name}.parquet"))
+    import shutil
+
+    shutil.rmtree(os.path.join(path, name))
+
+
+def _rows(spec):
+    return [(h, f"host{h % 3}", T0 + timedelta(minutes=m)) for h, m in spec]
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """The streamed watermarked window agg over N micro-batches must
+    equal the one-shot batch aggregation over the same files (no late
+    data in this case)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, _rows([(1, 0), (2, 3), (3, 11)]), "b0")
+    _write_batch(spark, src, _rows([(4, 12), (5, 14), (6, 25)]), "b1")
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    agg = ST.windowed_counts(stream, "ts", ["host"], "10 minutes", "10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["host"]): r["n"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = ST.windowed_counts(
+        spark.read.schema(SCHEMA).parquet(src), "ts", ["host"], "10 minutes"
+    )
+    want = {(r["win_start"], r["host"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 2
+
+
+def test_windowed_counts_drops_late_event(spark, tmp_path):
+    """Append mode + watermark: an event arriving after the watermark
+    passed its window is DROPPED (bounded state at 10^10 events); the
+    closed window's count excludes it."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0 advances event time to minute 40 -> watermark 30; the
+    # watermark-commit batch inside processAllAvailable finalizes (emits
+    # + evicts) the 00:00-00:10 window with its two on-time events
+    _write_batch(spark, src, _rows([(1, 0), (2, 5), (3, 40)]), "b0")
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    agg = ST.windowed_counts(stream, "ts", [], "10 minutes", "10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = {
+            r["win_start"]: r["n"]
+            for r in spark.sql("SELECT * FROM late_counts").collect()
+        }
+        assert emitted == {T0: 2}, emitted
+        # a minute-6 event now arrives behind the watermark: its window
+        # state is gone, the row is dropped (bounded state is exactly
+        # this discard); minute-41 keeps the stream moving
+        _write_batch(spark, src, _rows([(9, 6), (4, 41)]), "b1")
+        q.processAllAvailable()
+        emitted = {
+            r["win_start"]: r["n"]
+            for r in spark.sql("SELECT * FROM late_counts").collect()
+        }
+    finally:
+        q.stop()
+    # the late minute-6 arrival did not reopen or re-emit the window
+    assert emitted[T0] == 2 and len(emitted) == 1
+
+
+def test_dedup_stream_emits_once_within_horizon(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, _rows([(1, 0), (2, 1)]), "b0")
+    _write_batch(spark, src, _rows([(1, 2), (3, 3)]), "b1")  # 1 is a dup
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    ded = ST.dedup_stream(stream, ["url_hash"], "ts", "30 minutes")
+    q = (
+        ded.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["url_hash"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1, 2, 3]
+
+
+def test_idempotent_sink_replay_and_end_to_end(spark, tmp_path):
+    """foreachBatch sink: re-applying a delivered batch id is a no-op
+    (exactly-once on at-least-once redelivery), and the streamed rows
+    land in parquet equal to the source."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_batch(spark, src, _rows([(1, 0), (2, 1)]), "b0")
+    _write_batch(spark, src, _rows([(3, 2)]), "b1")
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    q = ST.run_stream_to_parquet(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert sorted(r["url_hash"] for r in data.collect()) == [1, 2, 3]
+    logs = sorted(glob.glob(os.path.join(out, "_applied_batches", "*.json")))
+    assert len(logs) == 2
+    applied = [json.load(open(p)) for p in logs]
+    assert sum(a["rows"] for a in applied) == 3
+
+    # simulate at-least-once redelivery of batch 0
+    sink = ST.IdempotentParquetSink(out)
+    sink(spark.createDataFrame(_rows([(1, 0), (2, 1)]), SCHEMA), 0)
+    data2 = spark.read.parquet(os.path.join(out, "data"))
+    assert data2.count() == 3, "replayed batch must not duplicate rows"
+    # an unseen batch id DOES append
+    sink(spark.createDataFrame(_rows([(7, 9)]), SCHEMA), 99)
+    assert spark.read.parquet(os.path.join(out, "data")).count() == 4
+
+
+def test_dedup_stream_requires_watermark_horizon(spark):
+    # guard: operator is watermarked (bounded state) by construction
+    df = spark.createDataFrame([], SCHEMA)
+    ded = ST.dedup_stream(df, ["url_hash"], "ts", "5 minutes")
+    assert "url_hash" in ded.columns
+    with pytest.raises(Exception):
+        ST.read_parquet_stream(None, "/nonexistent", SCHEMA)
