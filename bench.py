@@ -41,7 +41,9 @@ HEADLINE = [
     "q_order_by",
     "q_host_budget_topk",
     "q_sessionize",
+    "q_time_rollup",
     "q_asof_join",
+    "q_interval_join",
     "q_shard_pack",
     "q_crawl_round",
     "q_frontier_expand",

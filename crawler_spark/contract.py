@@ -23,7 +23,7 @@ from .functions import neardup as ND
 from .functions import similarity as SIM
 from .functions import text as TX
 from .functions.multimodal import attach_synthetic_images, decode_meta
-from .functions.temporal import asof_join
+from .functions.temporal import asof_join, interval_join
 from .operators.extract import extract_number, take_before, with_page_param
 from .operators.ranking import SMALL_SEQ_MAX_ROWS, global_sequence
 
@@ -317,6 +317,32 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_time_rollup(spark, sf):
+    """Hierarchical time-bucket rollup (hypertable-style continuous
+    aggregate): per-(day, hour) metrics plus day and grand subtotals in
+    ONE pass via ROLLUP grouping sets — Spark's Expand feeds a single
+    shuffle, no self-union of three aggregations.  grouping_id
+    disambiguates levels; rollup NULLs are sentinel-encoded for
+    cross-engine value hashing (integer-exact cents)."""
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("d", F.date_trunc("day", "ts"))
+        .withColumn("h", F.hour("ts"))
+        .rollup("d", "h")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("value_cents"),
+        )
+        .withColumn(
+            "d", F.coalesce("d", F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+        )
+        .withColumn("h", F.coalesce(F.col("h").cast("long"), F.lit(-1)))
+        .select("lvl", "d", "h", "n", "value_cents")
+    )
+
+
 def q_asof_join(spark, sf):
     """As-of (backward) join: each click event picks up the most recent
     prior-or-equal view by the same user — functions.temporal.asof_join
@@ -346,6 +372,30 @@ def q_asof_join(spark, sf):
         )
         .select("event_id", "user_id", "ts", "matched", "view_event_id", "view_ts")
     )
+
+
+def q_interval_join(spark, sf):
+    """Point-in-interval range join via grid bucketing
+    (functions.temporal.interval_join): clicks landing inside the
+    30-minute window after any purchase by the same user.  The join key
+    is (user, cell) — selective even for hot users, never the naive
+    per-key cross product."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("p")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("lo"),
+        )
+        .withColumn("hi", (F.col("lo") + 1800).cast("long"))
+    )
+    return interval_join(
+        clicks, purch, ["user_id"], "p", "lo", "hi", cell_width=1800
+    ).select("event_id", "user_id", "purchase_event_id")
 
 
 def q_shard_pack(spark, sf):
@@ -570,7 +620,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_by": q_order_by,
     "q_host_budget_topk": q_host_budget_topk,
     "q_sessionize": q_sessionize,
+    "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
     "q_shard_pack": q_shard_pack,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
@@ -750,6 +802,17 @@ ORACLES: dict[str, str] = {
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
               FROM events)
     """,
+    "q_time_rollup": """
+        SELECT CAST(GROUPING(d, h) AS BIGINT) AS lvl,
+               COALESCE(d, TIMESTAMP '1970-01-01 00:00:00') AS d,
+               COALESCE(h, -1) AS h,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                     CAST(hour(ts) AS BIGINT) AS h, value
+              FROM events)
+        GROUP BY ROLLUP(d, h)
+    """,
     "q_asof_join": """
         WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
              v AS (SELECT user_id, ts, max(event_id) AS view_event_id
@@ -759,6 +822,16 @@ ORACLES: dict[str, str] = {
                COALESCE(v.view_event_id, -1) AS view_event_id,
                COALESCE(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts
         FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "q_interval_join": """
+        WITH c AS (SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS p
+                   FROM events WHERE event_type = 'click'),
+             pu AS (SELECT event_id AS purchase_event_id, user_id,
+                           CAST(epoch(ts) AS BIGINT) AS lo
+                    FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, pu.purchase_event_id
+        FROM c JOIN pu ON c.user_id = pu.user_id
+                      AND c.p >= pu.lo AND c.p < pu.lo + 1800
     """,
     "q_shard_pack": r"""
         WITH t AS (SELECT doc_id,

@@ -67,3 +67,52 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    cell_width: int,
+) -> DataFrame:
+    """Point-in-interval (range) join: every (point, interval) pair with
+    equal ``on`` keys and ``lo <= point < hi`` — emitted once per pair,
+    overlapping intervals give multiple rows.
+
+    The naive ``join(keys) .filter(lo <= p < hi)`` plans as an equi join
+    whose per-key output is |points_k| x |intervals_k| BEFORE the range
+    filter — quadratic in hot keys.  Grid bucketing makes the join key
+    selective: intervals explode to the cells they cover (bounded by
+    ceil(len/cell_width)+1 rows each), points hash to their single cell,
+    and the equi join runs on (keys..., cell) with the exact range
+    predicate applied after.  Each qualifying pair meets in EXACTLY one
+    cell (the point's), so no dedup pass is needed.  Pick ``cell_width``
+    near the typical interval length: wider cells degrade toward the
+    naive join, narrower cells grow the interval explosion.
+
+    Numeric columns only (cast timestamps to epoch seconds first);
+    empty/inverted intervals (hi <= lo) match nothing and are dropped
+    before the explode."""
+    on = list(on)
+    iv = intervals.filter(F.col(hi_col) > F.col(lo_col))
+    # half-open [lo, hi): the last covered cell is floor((hi-1)/w)
+    iv_cells = iv.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / cell_width),
+                F.floor((F.col(hi_col) - 1) / cell_width),
+            )
+        ),
+    )
+    pt_cells = points.withColumn("_cell", F.floor(F.col(point_col) / cell_width))
+    return (
+        pt_cells.join(iv_cells, [*on, "_cell"])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_cell")
+    )

@@ -345,3 +345,31 @@ def test_asof_join_rejects_column_collision(spark):
     ts = df.withColumn("ts", df["v"].cast("timestamp"))
     with pytest.raises(ValueError, match="collide"):
         asof_join(ts, ts, ["k"], "ts", ["v"])
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import random
+
+    from crawler_spark.functions.temporal import interval_join
+
+    rng = random.Random(23)
+    pts = [(i, rng.randrange(0, 4), rng.randrange(0, 10_000)) for i in range(400)]
+    ivs = []
+    for j in range(120):
+        lo = rng.randrange(-500, 10_000)
+        ivs.append((j, rng.randrange(0, 4), lo, lo + rng.randrange(0, 900)))
+    p_df = spark.createDataFrame(pts, "pid: long, k: int, p: long")
+    i_df = spark.createDataFrame(ivs, "iid: long, k: int, lo: long, hi: long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(p_df, i_df, ["k"], "p", "lo", "hi", 300).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pk, p in pts
+        for iid, ik, lo, hi in ivs
+        if pk == ik and lo <= p < hi
+    )
+    assert got == want and len(want) > 50
+    # each qualifying pair appears exactly once (single-cell meeting)
+    assert len(got) == len(set(got))
