@@ -127,3 +127,102 @@ def run_stream_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_sec: int = 1800,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`, the
+    graft brief's escape hatch for operators Spark's built-ins lack):
+    event-time session windows per key, emitted when the watermark
+    passes ``session_end + gap`` (event-time timeout), state removed on
+    emit — state is O(open sessions), never O(history).
+
+    Semantics (the streaming twin of contract.q_sessionize's batch
+    lag+cumsum): events within ``gap_sec`` of the current session extend
+    it; a batch arriving entirely past the gap closes the old session
+    (emitted immediately) and opens a new one.  Arrivals later than the
+    watermark horizon are dropped by Spark before reaching the state
+    function."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    gap_ms = gap_sec * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        mn = None
+        mx = None
+        n_new = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_ms = pdf[ts_col].astype("int64") // 1_000_000
+            mn = ts_ms.min() if mn is None else min(mn, ts_ms.min())
+            mx = ts_ms.max() if mx is None else max(mx, ts_ms.max())
+            n_new += len(pdf)
+        if n_new == 0:
+            return
+        closed = []
+        if state.exists:
+            start_ms, end_ms, n = state.get
+            if mn <= end_ms + gap_ms:
+                # extends (or back-fills within the horizon) the session
+                start_ms, end_ms, n = min(start_ms, mn), max(end_ms, mx), n + n_new
+            else:
+                closed.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = mn, mx, n_new
+        else:
+            start_ms, end_ms, n = mn, mx, n_new
+        state.update((int(start_ms), int(end_ms), int(n)))
+        # close when the watermark passes the gap after the last event
+        state.setTimeoutTimestamp(int(end_ms) + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0] for _ in closed],
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, SESSION_OUT, _SESSION_STATE, "append", "EventTimeTimeout"
+        )
+    )

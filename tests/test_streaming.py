@@ -181,3 +181,48 @@ def test_dedup_stream_requires_watermark_horizon(spark):
     assert "url_hash" in ded.columns
     with pytest.raises(Exception):
         ST.read_parquet_stream(None, "/nonexistent", SCHEMA)
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close when the
+    watermark passes end+gap (event-time timeout) or when a same-key
+    batch arrives past the gap; state is removed on emit."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # user 1: events at minutes 0 and 5 (one session); user 2: minute 3
+    _write_batch(spark, src, _rows_u([(1, 0), (1, 5), (2, 3)]), "b0")
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    sess = ST.sessionize_stream(
+        stream, "url_hash", "ts", gap_sec=600, watermark_delay="10 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still at minute -5..0ish: nothing closed yet
+        # user 1 again at minute 60: advances the watermark far past
+        # minute 5+gap AND is itself past the gap (double trigger: the
+        # old session closes by arrival, user 2's by timeout)
+        _write_batch(spark, src, _rows_u([(1, 60)]), "b1")
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["session_start"].minute, r["session_end"].minute, r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+        assert (1, 0, 5, 2) in got, got
+        assert (2, 3, 3, 1) in got, got
+        # the minute-60 session is still open (watermark 50 < 60+gap)
+        assert all(k != 1 or s != 0 or e != 0 for k, s, e, _ in got)
+        assert len(got) == 2, got
+    finally:
+        q.stop()
+
+
+def _rows_u(spec):
+    """(key, minute) rows — key doubles as the session key."""
+    return [(k, f"host{k}", T0 + timedelta(minutes=m)) for k, m in spec]
