@@ -498,6 +498,25 @@ def q_ngram_jaccard(spark, sf):
     return ND.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
+def q_dup_clusters(spark, sf):
+    """Pairs → clusters: connected components over the exact n-gram-
+    Jaccard near-dup graph (functions.graph.connected_components,
+    min-label propagation as pure DataFrame joins).  Every document gets
+    a cluster_id = min doc_id of its component (singletons label
+    themselves) — the deterministic keeper for dedup at any
+    parallelism."""
+    from .functions.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
+    cc = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash+LSH near-dup pairs, exact-verified.  Portable md5-int60
     shingle hashes: the DuckDB oracle replays signatures (HUGEINT
@@ -632,6 +651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_shingle_stats": q_shingle_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dup_clusters": q_dup_clusters,
     "q_minhash_neardup": q_minhash_neardup,
     "q_simhash_neardup": q_simhash_neardup,
     "q_rolling_fingerprint": q_rolling_fingerprint,
@@ -930,6 +950,31 @@ ORACLES: dict[str, str] = {
           JOIN sizes sa ON sa.doc_id = a
           JOIN sizes sb ON sb.doc_id = b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    # same pair derivation as q_ngram_jaccard, then transitive closure
+    # (UNION-deduped recursive CTE) and min-reachable-id per node — the
+    # declarative mirror of the Spark side's min-label propagation
+    "q_dup_clusters": f"""
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (
+          SELECT a, b FROM pairs
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE round(cast(inter AS DOUBLE)
+                      / cast(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.4),
+        und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        reach(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.n, u.v FROM reach r JOIN und u ON u.u = r.m)
+        SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
     """,
     # CAST(... AS DOUBLE[]): duckdb's list_cosine_similarity computes in
     # float32 on FLOAT[] inputs; Spark's aggregate() accumulates in double.

@@ -373,3 +373,65 @@ def test_interval_join_matches_bruteforce(spark):
     assert got == want and len(want) > 50
     # each qualifying pair appears exactly once (single-cell meeting)
     assert len(got) == len(set(got))
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from crawler_spark.functions.graph import connected_components
+
+    rng = random.Random(31)
+    n = 120
+    # the documented regime: small-diameter components (near-dup
+    # clusters) — cliques of <=5 plus a few 4-chains, nodes shuffled so
+    # min ids land arbitrarily inside components
+    ids = list(range(n))
+    rng.shuffle(ids)
+    edges = []
+    i = 0
+    while i + 5 <= n - 20:
+        group = ids[i : i + 5]
+        edges += [(x, y) for xi, x in enumerate(group) for y in group[xi + 1 :]]
+        i += 5
+    for j in range(n - 20, n - 4, 4):
+        chain = ids[j : j + 4]
+        edges += list(zip(chain, chain[1:]))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+    # canonical label = min member id
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in range(n)}
+
+    e_df = spark.createDataFrame(edges, "a: long, b: long").repartition(7)
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e_df, nodes=nodes).collect()
+    }
+    assert got == want
+    # isolated nodes label themselves
+    isolated = [v for v in range(n) if want[v] == v and all(v not in e for e in edges)]
+    assert all(got[v] == v for v in isolated)
+
+
+def test_connected_components_empty_edges(spark):
+    from crawler_spark.functions.graph import connected_components
+
+    e_df = spark.createDataFrame([], "a: long, b: long")
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    got = {r["node"]: r["component"] for r in connected_components(e_df, nodes=nodes).collect()}
+    assert got == {i: i for i in range(5)}
