@@ -498,6 +498,36 @@ def q_ngram_jaccard(spark, sf):
     return ND.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
+def q_train_split(spark, sf):
+    """Deterministic 90/10 train/holdout split: the bucket is the
+    portable md5-int60 of doc_id mod 100, so a document lands in the
+    same split on any cluster size, any engine, any rerun — the only
+    sound way to split at 10^10 docs (rand() re-draws per action;
+    row-position splits change under repartitioning)."""
+    h = TX.md5_int60(F.col("doc_id").cast("string"))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.pmod(h, F.lit(100)).cast("long").alias("bucket"),
+        F.when(F.pmod(h, F.lit(100)) < 90, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+
+
+def q_stratified_sample(spark, sf):
+    """Stratified deterministic sample: up to 5 docs per language,
+    chosen by hash order (not file order) — per-stratum window rank, the
+    same rows at any parallelism."""
+    h = TX.md5_int60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "rn")
+    )
+
+
 def q_dup_clusters(spark, sf):
     """Pairs → clusters: connected components over the exact n-gram-
     Jaccard near-dup graph (functions.graph.connected_components,
@@ -651,6 +681,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_shingle_stats": q_shingle_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_train_split": q_train_split,
+    "q_stratified_sample": q_stratified_sample,
     "q_dup_clusters": q_dup_clusters,
     "q_minhash_neardup": q_minhash_neardup,
     "q_simhash_neardup": q_simhash_neardup,
@@ -950,6 +982,23 @@ ORACLES: dict[str, str] = {
           JOIN sizes sa ON sa.doc_id = a
           JOIN sizes sb ON sb.doc_id = b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    "q_train_split": f"""
+        SELECT doc_id,
+               {_md5i("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+               CASE WHEN {_md5i("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents
+    """,
+    "q_stratified_sample": f"""
+        SELECT doc_id, lang, rn FROM (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY {_md5i("CAST(doc_id AS VARCHAR)")}, doc_id
+                 ) AS BIGINT) AS rn
+          FROM documents)
+        WHERE rn <= 5
     """,
     # same pair derivation as q_ngram_jaccard, then transitive closure
     # (UNION-deduped recursive CTE) and min-reachable-id per node — the
