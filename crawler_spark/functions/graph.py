@@ -47,15 +47,29 @@ def connected_components(
     """(node, component) for every node, component = min node id in its
     connected component.  ``edges`` are undirected pairs; ``nodes``
     (single ``node`` column) adds isolated vertices (they label
-    themselves) — defaults to the nodes appearing in edges."""
+    themselves).  Edge endpoints are always folded into the node set —
+    a ``nodes`` frame that misses an endpoint cannot silently break the
+    min-id invariant.  Node ids must be numeric: the convergence check
+    compares the global label SUM (monotone under min-propagation),
+    which a string id type would turn into a NULL == NULL early-stop
+    with wrong labels."""
     und = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
         .persist()
     )
+    endpoints = und.select(F.col("u").alias("node"))
     if nodes is None:
-        nodes = und.select(F.col("u").alias("node")).distinct()
+        nodes = endpoints.distinct()
+    else:
+        nodes = nodes.select("node").unionByName(endpoints).distinct()
+    node_type = dict(nodes.dtypes)["node"]
+    if node_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"connected_components needs integer node ids (got {node_type}); "
+            "hash string keys to int64 first (e.g. text.md5_int60)"
+        )
     labels = nodes.select("node", F.col("node").alias("component")).persist()
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):

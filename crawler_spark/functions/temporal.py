@@ -46,15 +46,24 @@ def asof_join(
     winner would depend on partition order; callers dedup first (e.g.
     ``groupBy(on, ts).agg(max(...))``), which is also what makes a SQL
     oracle well-defined.  ``value_cols`` must not collide with ``left``
-    columns (alias on the right beforehand)."""
+    columns (alias on the right beforehand).
+
+    Value columns travel as ONE struct through the window: the struct
+    is non-null for every right row even when its members are null, so
+    (a) a genuinely-NULL right value is carried as NULL instead of
+    leaking the previous right row's value past it, and (b) all value
+    columns always come from the SAME matched right row."""
     on = list(on)
     value_cols = list(value_cols)
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
 
+    vals = "_asof_vals"
     l_tagged = left.withColumn(_SIDE, F.lit(1))
-    r_tagged = right.select(*on, ts_col, *value_cols).withColumn(_SIDE, F.lit(0))
+    r_tagged = right.select(
+        *on, ts_col, F.struct(*value_cols).alias(vals)
+    ).withColumn(_SIDE, F.lit(0))
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     w = (
@@ -62,11 +71,14 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = both.select(
-        *[c for c in both.columns if c not in value_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    filled = both.withColumn(vals, F.last(vals, ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col(_SIDE) == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"{vals}.{c}").alias(c) for c in value_cols],
+        )
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
 
 
 def interval_join(

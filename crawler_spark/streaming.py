@@ -82,17 +82,34 @@ def dedup_stream(
     """Streaming URL-seen: emit each key once, state bounded by the
     watermark horizon (a key recurring later than the horizon may be
     re-emitted — the exact tradeoff the batch engine's Bloom+anti-join
-    makes differently: unbounded memory vs bounded re-fetch window)."""
-    return events.withWatermark(ts_col, watermark_delay).dropDuplicates(key_cols)
+    makes differently: unbounded memory vs bounded re-fetch window).
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``):
+    with the plain form Spark only evicts dedup state when the
+    event-time column is PART of the key subset — keyed on url_hash
+    alone it would retain every key forever (O(history) state, the
+    exact failure this operator exists to avoid)."""
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 class IdempotentParquetSink:
-    """`foreachBatch` target: append each micro-batch to a parquet
-    directory exactly once.  Streaming guarantees at-least-once batch
-    delivery after restart; a batch-id commit log (one marker file per
-    applied batch, written AFTER the data lands) turns that into
-    exactly-once — the same write-then-commit discipline as the batch
-    StateStore's round checkpoints (sinks/__init__.py)."""
+    """`foreachBatch` target: land each micro-batch in parquet exactly
+    once.  Streaming guarantees at-least-once batch delivery after
+    restart; two mechanisms together make that exactly-once:
+
+    - each batch OVERWRITES its own deterministic partition directory
+      (``data/batch_id=N``) — a replay of batch N lands on the same
+      path, so even a crash BETWEEN the data write and the marker write
+      cannot duplicate rows (an append-to-shared-dir scheme would);
+    - a batch-id marker file (written after the data) short-circuits
+      full replays — the same write-then-commit discipline as the batch
+      StateStore's round checkpoints (sinks/__init__.py).
+
+    The row count in the marker is recovered from the just-written
+    parquet footers (metadata-only read), not by re-computing the
+    upstream plan a second time."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -105,8 +122,9 @@ class IdempotentParquetSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.applied(batch_id):
             return  # redelivered batch: already fully applied
-        n = batch_df.count()
-        batch_df.write.mode("append").parquet(os.path.join(self.out_dir, "data"))
+        path = os.path.join(self.out_dir, "data", f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)
+        n = batch_df.sparkSession.read.parquet(path).count()  # footer-only
         with open(os.path.join(self._log, f"{batch_id}.json"), "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)
 
@@ -161,11 +179,17 @@ def sessionize_stream(
     emit — state is O(open sessions), never O(history).
 
     Semantics (the streaming twin of contract.q_sessionize's batch
-    lag+cumsum): events within ``gap_sec`` of the current session extend
-    it; a batch arriving entirely past the gap closes the old session
-    (emitted immediately) and opens a new one.  Arrivals later than the
-    watermark horizon are dropped by Spark before reaching the state
-    function."""
+    lag+cumsum): a batch's per-key events are time-sorted and split at
+    every >gap hole (a catch-up batch delivering hours of event time
+    yields the same sessions the batch operator would); segments within
+    ``gap_sec`` of the open session extend it, earlier complete
+    segments close immediately, and the final open segment closes by
+    event-time timeout when the watermark passes ``end + gap``.
+    Arrivals later than the watermark horizon are dropped by Spark
+    before reaching the state function.  Known approximation shared
+    with any emit-on-close sessionizer: an out-of-order arrival that
+    would BRIDGE two sessions of which one already closed cannot
+    retract the emitted row."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     gap_ms = gap_sec * 1000
@@ -183,32 +207,32 @@ def sessionize_stream(
                 }
             )
             return
-        mn = None
-        mx = None
-        n_new = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts_ms = pdf[ts_col].astype("int64") // 1_000_000
-            mn = ts_ms.min() if mn is None else min(mn, ts_ms.min())
-            mx = ts_ms.max() if mx is None else max(mx, ts_ms.max())
-            n_new += len(pdf)
-        if n_new == 0:
+        parts = [
+            pdf[ts_col].astype("int64") // 1_000_000 for pdf in pdfs if len(pdf)
+        ]
+        if not parts:
             return
+        ts = pd.concat(parts).sort_values().to_numpy()
+        brk = (
+            [0]
+            + [i for i in range(1, len(ts)) if ts[i] - ts[i - 1] > gap_ms]
+            + [len(ts)]
+        )
+        segments = [
+            (int(ts[s]), int(ts[e - 1]), e - s) for s, e in zip(brk[:-1], brk[1:])
+        ]
         closed = []
-        if state.exists:
-            start_ms, end_ms, n = state.get
-            if mn <= end_ms + gap_ms:
-                # extends (or back-fills within the horizon) the session
-                start_ms, end_ms, n = min(start_ms, mn), max(end_ms, mx), n + n_new
+        cur = tuple(state.get) if state.exists else None
+        for mn, mx, n_new in segments:
+            if cur is not None and mn <= cur[1] + gap_ms:
+                cur = (min(cur[0], mn), max(cur[1], mx), cur[2] + n_new)
             else:
-                closed.append((start_ms, end_ms, n))
-                start_ms, end_ms, n = mn, mx, n_new
-        else:
-            start_ms, end_ms, n = mn, mx, n_new
-        state.update((int(start_ms), int(end_ms), int(n)))
+                if cur is not None:
+                    closed.append(cur)
+                cur = (mn, mx, n_new)
+        state.update((int(cur[0]), int(cur[1]), int(cur[2])))
         # close when the watermark passes the gap after the last event
-        state.setTimeoutTimestamp(int(end_ms) + gap_ms)
+        state.setTimeoutTimestamp(int(cur[1]) + gap_ms)
         if closed:
             yield pd.DataFrame(
                 {

@@ -435,3 +435,43 @@ def test_connected_components_empty_edges(spark):
     nodes = spark.range(5).select(F.col("id").alias("node"))
     got = {r["node"]: r["component"] for r in connected_components(e_df, nodes=nodes).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_asof_join_null_value_is_not_skipped(spark):
+    """A genuinely-NULL right-side value must be carried as NULL, not
+    skipped in favor of an older right row; multiple value columns must
+    all come from the SAME matched right row."""
+    from datetime import datetime
+
+    from crawler_spark.functions.temporal import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    right = spark.createDataFrame(
+        [(1, t(0), 5, 100), (1, t(10), None, 200)],
+        "k: int, ts: timestamp, v: int, w: int",
+    )
+    left = spark.createDataFrame([(7, 1, t(15))], "lid: long, k: int, ts: timestamp")
+    row = asof_join(left, right, ["k"], "ts", ["v", "w"]).collect()[0]
+    # matched row is the t(10) one: v genuinely NULL, w=200 — never
+    # (v=5, w=200), a tuple existing in no right row
+    assert row["v"] is None and row["w"] == 200
+
+
+def test_connected_components_folds_missing_endpoints(spark):
+    from crawler_spark.functions.graph import connected_components
+
+    e_df = spark.createDataFrame([(0, 5)], "a: long, b: long")
+    nodes = spark.createDataFrame([(5,)], "node: long")
+    got = {r["node"]: r["component"] for r in connected_components(e_df, nodes=nodes).collect()}
+    # node 0 was missing from nodes but is an endpoint: both get min id 0
+    assert got == {0: 0, 5: 0}
+
+
+def test_connected_components_rejects_string_ids(spark):
+    import pytest
+
+    from crawler_spark.functions.graph import connected_components
+
+    e_df = spark.createDataFrame([("a", "b")], "a: string, b: string")
+    with pytest.raises(TypeError, match="integer node ids"):
+        connected_components(e_df)

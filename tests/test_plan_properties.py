@@ -58,14 +58,14 @@ def test_scalar_extraction_is_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_documents_scan_prunes_columns(spark):
+def test_documents_scan_prunes_columns(spark, sf_dir):
     """Column pruning must reach the parquet scan: a 2-column text
     query over `documents` (5 columns on disk) reads ONLY those two —
     at 100 TB the difference is scanning the table vs scanning 40% of
     it."""
     from crawler_spark import contract as C
 
-    plan = _plan(C.q_token_count(spark, "/root/testdata/sf0.001"))
+    plan = _plan(C.q_token_count(spark, sf_dir))
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
     assert m, scan
@@ -73,12 +73,12 @@ def test_documents_scan_prunes_columns(spark):
     assert cols == ["doc_id", "text"], scan
 
 
-def test_filter_pushdown_reaches_scan(spark):
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
     """Skip-filter predicates must appear as PushedFilters on the
     events scan (row-group pruning), not only as a post-scan Filter."""
     from crawler_spark import contract as C
 
-    plan = _plan(C.q_filter_nonempty(spark, "/root/testdata/sf0.001"))
+    plan = _plan(C.q_filter_nonempty(spark, sf_dir))
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PushedFilters: [IsNotNull(" in scan, scan
     m = re.search(r"ReadSchema: struct<([^>]*)>", scan)

@@ -226,3 +226,51 @@ def test_sessionize_stream_stateful(spark, tmp_path):
 def _rows_u(spec):
     """(key, minute) rows — key doubles as the session key."""
     return [(k, f"host{k}", T0 + timedelta(minutes=m)) for k, m in spec]
+
+
+def test_sessionize_splits_intra_batch_gaps(spark, tmp_path):
+    """A catch-up micro-batch delivering events separated by more than
+    the gap must yield MULTIPLE sessions (time-sorted segment split),
+    matching what the batch sessionizer would produce."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # ONE batch for key 1: minutes 0,5 | hole | 30,32 | hole | 60
+    _write_batch(
+        spark, src, _rows_u([(1, 0), (1, 5), (1, 30), (1, 32), (1, 60)]), "b0"
+    )
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    sess = ST.sessionize_stream(
+        stream, "url_hash", "ts", gap_sec=600, watermark_delay="10 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("catchup_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["session_start"].minute, r["session_end"].minute, r["n_events"])
+            for r in spark.sql("SELECT * FROM catchup_sessions").collect()
+        )
+    finally:
+        q.stop()
+    # the two complete segments closed (by arrival and/or timeout: the
+    # watermark from minute 60 is 50, past 32+10); minute-60 stays open
+    assert got == [(0, 5, 2), (30, 32, 2)], got
+
+
+def test_idempotent_sink_crash_between_write_and_marker(spark, tmp_path):
+    """Replay after a crash that landed the data but not the marker must
+    NOT duplicate rows: each batch overwrites its own partition dir."""
+    out = str(tmp_path / "out")
+    sink = ST.IdempotentParquetSink(out)
+    df = spark.createDataFrame(_rows([(1, 0), (2, 1)]), SCHEMA)
+    sink(df, 0)
+    # simulate the crash: data landed, marker lost
+    os.remove(os.path.join(out, "_applied_batches", "0.json"))
+    sink(df, 0)  # redelivery
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == 2, "replayed batch duplicated rows"
+    assert sorted(r["url_hash"] for r in data.collect()) == [1, 2]
