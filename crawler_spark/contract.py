@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .functions import neardup as ND
 from .functions import similarity as SIM
 from .functions import text as TX
-from .functions.multimodal import attach_synthetic_images, decode_meta
+from .functions.multimodal import attach_synthetic_images, decode_meta, transcode
 from .functions.temporal import asof_join, interval_join
 from .operators.extract import extract_number, take_before, with_page_param
 from .operators.ranking import SMALL_SEQ_MAX_ROWS, global_sequence
@@ -629,6 +629,25 @@ def q_image_decode_meta(spark, sf):
     return decode_meta(imgs).select("image_id", "dec_w", "dec_h", "dec_phash", "decode_ok")
 
 
+def q_image_phash_neardup(spark, sf):
+    """Image near-dup detection: original images vs their lossy-JPEG
+    recompressed copies, caught by perceptual-hash Hamming banding —
+    the SAME 4×16-bit band self-join as text SimHash (at 100 TB, image
+    dedup IS phash banding).  Quality-99 recompression keeps hamming
+    ≤ 3, inside the 4-band pigeonhole guarantee (exact recall, not
+    probabilistic).  Rows-only: binary codecs are not
+    DuckDB-expressible."""
+    docs = _t(spark, sf, "documents").limit(100)
+    orig = attach_synthetic_images(docs, "doc_id")
+    copies = transcode(orig, "jpg")
+    sigs = (
+        decode_meta(orig.unionByName(copies))
+        .filter(F.col("decode_ok"))
+        .select("image_id", F.col("dec_phash").alias("simhash"))
+    )
+    return ND.simhash_neardup_pairs(sigs, max_hamming=3, id_col="image_id")
+
+
 def q_frame_sample(spark, sf):
     """Video frame sampling over the real MJV1 motion-frame container
     (crawler_spark.video): every 4th frame of 50 deterministic 12-frame
@@ -693,6 +712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
+    "q_image_phash_neardup": q_image_phash_neardup,
     "q_frame_sample": q_frame_sample,
 }
 

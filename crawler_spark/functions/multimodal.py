@@ -269,3 +269,39 @@ def attach_synthetic_images(
         ]
     )
     return df.select(F.col(id_col)).mapInPandas(run, schema=schema)
+
+
+def transcode(
+    images: DataFrame, to_fmt: str, id_suffix: str | None = None
+) -> DataFrame:
+    """Decode → re-encode every payload as ``to_fmt`` (Arrow-batched
+    mapInPandas, bytes never shuffle).  With the lossy ``'jpg'`` codec
+    this manufactures realistic recompressed near-duplicates — the
+    standard web-crawl phenomenon image dedup must catch (same picture,
+    different bytes, phash within a few bits).  Corrupt payloads are
+    dropped, mirroring decode_meta's bad-bytes-are-data stance.
+
+    ``id_suffix`` (default ``~<to_fmt>``) distinguishes the copy from
+    its source in downstream pair output."""
+    sfx = id_suffix if id_suffix is not None else f"~{to_fmt}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for img_id, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                try:
+                    px = I.decode_image(bytes(data), str(fmt))
+                except Exception:
+                    continue
+                rows["image_id"].append(f"{img_id}{sfx}")
+                rows["bytes"].append(I.encode_image(px, to_fmt))
+                rows["w"].append(int(w))
+                rows["h"].append(int(h))
+                rows["fmt"].append(to_fmt)
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=RESIZED
+    )

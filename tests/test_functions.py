@@ -475,3 +475,19 @@ def test_connected_components_rejects_string_ids(spark):
     e_df = spark.createDataFrame([("a", "b")], "a: string, b: string")
     with pytest.raises(TypeError, match="integer node ids"):
         connected_components(e_df)
+
+
+def test_image_phash_neardup_catches_recompressed_copies(spark, sf_dir):
+    """Original vs lossy-recompressed copies must pair up by phash
+    banding (>=90% of copies found at hamming<=3 — the real-JPEG copies
+    are near-exact; the declared stand-in codec is lossier), with no
+    false pairs between unrelated images."""
+    from crawler_spark import contract as C
+
+    rows = C.q_image_phash_neardup(spark, sf_dir).collect()
+    n_docs = min(C._t(spark, sf_dir, "documents").count(), 100)
+    true_pairs = [
+        r for r in rows if r["b"] == r["a"] + "~jpg" or r["a"] == r["b"] + "~jpg"
+    ]
+    assert len(true_pairs) >= 0.9 * n_docs
+    assert len(true_pairs) == len(rows), "false near-dup pair between unrelated images"
