@@ -498,6 +498,35 @@ def q_ngram_jaccard(spark, sf):
     return ND.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
+def q_tfidf_topk(spark, sf):
+    """Per-document top-3 terms by smoothed TF-IDF — explode, two
+    hash-aggregations (term frequency; document frequency), a term-keyed
+    join, and a per-doc window.  The corpus size enters as one driver
+    scalar (a count is an aggregate, not a collect).  Ranking uses the
+    ROUNDED score with the term as tiebreak, so ordering is identical
+    cross-engine even when libm ln differs in the last ulp."""
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(TX.norm_text("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfr"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("dfr") + 1.0)) + 1.0), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score", "rn")
+    )
+
+
 def q_train_split(spark, sf):
     """Deterministic 90/10 train/holdout split: the bucket is the
     portable md5-int60 of doc_id mod 100, so a document lands in the
@@ -700,6 +729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_shingle_stats": q_shingle_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_tfidf_topk": q_tfidf_topk,
     "q_train_split": q_train_split,
     "q_stratified_sample": q_stratified_sample,
     "q_dup_clusters": q_dup_clusters,
@@ -1002,6 +1032,25 @@ ORACLES: dict[str, str] = {
           JOIN sizes sa ON sa.doc_id = a
           JOIN sizes sb ON sb.doc_id = b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    "q_tfidf_topk": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+        t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfr FROM t2 GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf * (ln((n_docs + 1.0) / (dfr + 1.0)) + 1.0), 4) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, score, rn FROM (
+          SELECT doc_id, term, score,
+                 CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score DESC, term
+                 ) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 3
     """,
     "q_train_split": f"""
         SELECT doc_id,
