@@ -498,6 +498,27 @@ def q_ngram_jaccard(spark, sf):
     return ND.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
+def q_heavy_hitters(spark, sf):
+    """Corpus-wide top-20 terms — explode + ONE map-side-combined hash
+    aggregate + a 20-row total order (the sort input is the vocabulary
+    aggregate, not the corpus).  Exact: batch heavy-hitters at any
+    scale is partial aggregation; sketches (count-min/SpaceSaving) are
+    only needed when the vocabulary itself cannot be shuffled —
+    streaming, not batch parquet."""
+    toks = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(TX.norm_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("term", "n", "rn")
+    )
+
+
 def q_tfidf_topk(spark, sf):
     """Per-document top-3 terms by smoothed TF-IDF — explode, two
     hash-aggregations (term frequency; document frequency), a term-keyed
@@ -729,6 +750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_shingle_stats": q_shingle_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_tfidf_topk": q_tfidf_topk,
     "q_train_split": q_train_split,
     "q_stratified_sample": q_stratified_sample,
@@ -1032,6 +1054,15 @@ ORACLES: dict[str, str] = {
           JOIN sizes sa ON sa.doc_id = a
           JOIN sizes sb ON sb.doc_id = b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    "q_heavy_hitters": f"""
+        SELECT term, n, rn FROM (
+          SELECT term, count(*) AS n,
+                 CAST(row_number() OVER (ORDER BY count(*) DESC, term)
+                      AS BIGINT) AS rn
+          FROM (SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents)
+          WHERE term <> '' GROUP BY term)
+        WHERE rn <= 20
     """,
     "q_tfidf_topk": f"""
         WITH tok AS (
