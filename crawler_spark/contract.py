@@ -507,7 +507,7 @@ def q_heavy_hitters(spark, sf):
     streaming, not batch parquet."""
     toks = (
         _t(spark, sf, "documents")
-        .select(F.explode(F.split(TX.norm_text("text"), " ")).alias("term"))
+        .select(F.explode(TX.token_array("text")).alias("term"))
         .filter(F.col("term") != "")
     )
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
@@ -529,7 +529,7 @@ def q_tfidf_topk(spark, sf):
     docs = _t(spark, sf, "documents")
     n_docs = docs.count()
     toks = docs.select(
-        "doc_id", F.explode(F.split(TX.norm_text("text"), " ")).alias("term")
+        "doc_id", F.explode(TX.token_array("text")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfr"))
@@ -684,8 +684,11 @@ def q_image_phash_neardup(spark, sf):
     recompressed copies, caught by perceptual-hash Hamming banding —
     the SAME 4×16-bit band self-join as text SimHash (at 100 TB, image
     dedup IS phash banding).  Quality-99 recompression keeps hamming
-    ≤ 3, inside the 4-band pigeonhole guarantee (exact recall, not
-    probabilistic).  Rows-only: binary codecs are not
+    ≤ 3, inside the 4-band pigeonhole guarantee — with
+    ``max_bucket=None`` (exact banding) recall is exact, not
+    probabilistic.  A production corpus would keep the default hot-band
+    skew guard and accept losing pairs of degenerate (solid-color)
+    images instead.  Rows-only: binary codecs are not
     DuckDB-expressible."""
     docs = _t(spark, sf, "documents").limit(100)
     orig = attach_synthetic_images(docs, "doc_id")
@@ -695,7 +698,9 @@ def q_image_phash_neardup(spark, sf):
         .filter(F.col("decode_ok"))
         .select("image_id", F.col("dec_phash").alias("simhash"))
     )
-    return ND.simhash_neardup_pairs(sigs, max_hamming=3, id_col="image_id")
+    return ND.simhash_neardup_pairs(
+        sigs, max_hamming=3, id_col="image_id", max_bucket=None
+    )
 
 
 def q_frame_sample(spark, sf):

@@ -288,20 +288,18 @@ def transcode(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
-            for img_id, data, fmt, w, h in zip(
-                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
-            ):
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
                     px = I.decode_image(bytes(data), str(fmt))
                 except Exception:
                     continue
                 rows["image_id"].append(f"{img_id}{sfx}")
                 rows["bytes"].append(I.encode_image(px, to_fmt))
-                rows["w"].append(int(w))
-                rows["h"].append(int(h))
+                # dimensions from the decoded pixels, not the (nullable)
+                # metadata columns — a null w/h must not fail the task
+                rows["w"].append(int(px.shape[1]))
+                rows["h"].append(int(px.shape[0]))
                 rows["fmt"].append(to_fmt)
             yield pd.DataFrame(rows)
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        run, schema=RESIZED
-    )
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=RESIZED)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import char_shingles, fingerprint, norm_text
+from .text import char_shingles, fingerprint, norm_text, token_array
 
 MERSENNE_P = (1 << 61) - 1
 
@@ -266,7 +266,7 @@ def simhash64(
     """
     hf = hash_fn or F.xxhash64
     toks = docs.select(
-        F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("tok")
+        F.col(id_col), F.explode(token_array(text_col)).alias("tok")
     ).withColumn("th", hf(F.col("tok")))
     bit_sums = toks.groupBy(id_col).agg(
         *[

@@ -46,6 +46,16 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(norm_text(col))
 
 
+def token_array(col: Column | str) -> Column:
+    """Whitespace token array over the canonical form — THE shared
+    tokenization (simhash64, TF-IDF, heavy hitters all build on it, and
+    its DuckDB oracle mirror is ``string_split(<norm>, ' ')``); one
+    definition so a tokenization change cannot desynchronize operators
+    from each other or from the oracles.  Empty input yields ``['']``;
+    filter empties downstream where the semantics need it."""
+    return F.split(norm_text(col), " ")
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace tokenization count ('' counts as 1, like split())."""
     c = F.col(col) if isinstance(col, str) else col
