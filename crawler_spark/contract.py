@@ -498,6 +498,27 @@ def q_ngram_jaccard(spark, sf):
     return ND.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
+def q_percentiles(spark, sf):
+    """Per-group exact interpolated percentiles (p50/p95 of integer
+    cents) — Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition, so values hash-match at 4 dp.
+    Scale note: exact percentile materializes each group's sorted
+    values; at 10^10 rows swap in `approx_percentile` (t-digest,
+    mergeable partial aggregation) and widen the tolerance — the query
+    shape is otherwise identical."""
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("c", cents)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("c", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("c", F.lit(0.95)), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_heavy_hitters(spark, sf):
     """Corpus-wide top-20 terms — explode + ONE map-side-combined hash
     aggregate + a 20-row total order (the sort input is the vocabulary
@@ -755,6 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_shingle_stats": q_shingle_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_percentiles": q_percentiles,
     "q_heavy_hitters": q_heavy_hitters,
     "q_tfidf_topk": q_tfidf_topk,
     "q_train_split": q_train_split,
@@ -1059,6 +1081,15 @@ ORACLES: dict[str, str] = {
           JOIN sizes sa ON sa.doc_id = a
           JOIN sizes sb ON sb.doc_id = b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    "q_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(c, 0.5), 4) AS p50,
+               round(quantile_cont(c, 0.95), 4) AS p95,
+               count(*) AS n
+        FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY 1
     """,
     "q_heavy_hitters": f"""
         SELECT term, n, rn FROM (
