@@ -8,10 +8,13 @@ merge runs whose fixture signature or dispatch fingerprints differ —
 combining is only valid for the identical engine + identical input.
 
 Usage: python scripts/merge_scaling_runs.py RUN1.json RUN2.json ...
-           [--write] [--drop-repeat RUN:REP ...]
+           [--write] [--out PATH] [--drop-repeat RUN:REP ...]
   each RUNx.json is a scaling_bench summary (the final JSON block of a
   tee'd log is fine if the file is just that JSON); --write saves to
-  repo SCALING.json, else prints.
+  repo SCALING.json (or --out PATH), else prints.  SCALING.json is the
+  pre-registered-headline file (largest fixture wins): a merge from a
+  smaller fixture than the current headline is refused unless --out
+  directs it elsewhere (e.g. SCALING_20K.json for the 20k point).
 
   --drop-repeat RUN:REP (0-based, repeatable) excludes repeat REP of
   run RUN from every level and from the pairwise median — for a repeat
@@ -81,7 +84,7 @@ def main() -> int:
         if skip_next:
             skip_next = False
             continue
-        if a == "--drop-repeat":
+        if a in ("--drop-repeat", "--out"):
             skip_next = True
             continue
         if a != "--write":
@@ -249,9 +252,27 @@ def main() -> int:
         summary["dropped_repeats"] = dropped
     out = json.dumps(summary, indent=2)
     if "--write" in sys.argv:
-        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        path = os.path.join(REPO, "SCALING.json")
+        if "--out" in sys.argv:
+            path = sys.argv[sys.argv.index("--out") + 1]
+        # Pre-registered largest-fixture rule: SCALING.json is the
+        # criterion headline.  Refuse to replace a headline measured on
+        # a LARGER fixture with a smaller-fixture merge (use --out for
+        # the smaller point, e.g. SCALING_20K.json).
+        if os.path.basename(path) == "SCALING.json" and os.path.isfile(path):
+            try:
+                cur = json.load(open(path))
+            except (OSError, ValueError):
+                cur = {}
+            if cur.get("n_seeds", 0) > summary["n_seeds"]:
+                sys.exit(
+                    f"refusing to overwrite {path} (headline fixture "
+                    f"n_seeds={cur['n_seeds']}) with a smaller-fixture merge "
+                    f"(n_seeds={summary['n_seeds']}); pass --out PATH"
+                )
+        with open(path, "w") as f:
             f.write(out + "\n")
-        print("SCALING.json written")
+        print(f"{path} written")
     else:
         print(out)
     return 0

@@ -399,3 +399,48 @@ def test_reconstruct_refuses_without_complete_pair():
     runs = rsc.parse_legs("LEG local[2] repeat 1: wall=100.0s util=0.9 fp=ab12\n")
     with pytest.raises(SystemExit):
         rsc.summarize(runs, 40000, 1280)
+
+
+# ------------------------------------------------- headline-file rule
+
+def test_repo_headline_is_largest_fixture():
+    # pre-registered rule: SCALING.json carries the largest-fixture
+    # criterion headline; prior points are linked, present, and smaller
+    s = json.load(open(os.path.join(REPO, "SCALING.json")))
+    assert s["n_seeds"] == 40000
+    assert s["scaling_efficiency"] >= 0.8
+    assert s["order_and_seen_identical"] is True
+    priors = s.get("prior_fixture_points", [])
+    assert priors, "prior 20k point must stay published beside the headline"
+    for p in priors:
+        assert p["n_seeds"] < s["n_seeds"]
+        assert os.path.isfile(os.path.join(REPO, p["file"]))
+
+
+def test_write_refuses_smaller_fixture_headline_clobber(tmp_path, monkeypatch):
+    import sys
+
+    monkeypatch.setattr(msr, "REPO", str(tmp_path))
+    (tmp_path / "SCALING.json").write_text(json.dumps({"n_seeds": 40000}))
+    paths = []
+    for i in range(2):
+        r = _mk_run([3.0, 3.1, 3.2], [100 + i, 102, 104], [33, 34, 35])
+        rp = tmp_path / f"run{i}.json"
+        rp.write_text(json.dumps(r))
+        paths.append(str(rp))
+    monkeypatch.setattr(
+        sys, "argv", ["merge_scaling_runs.py", *paths, "--write"]
+    )
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        msr.main()
+    assert json.load(open(tmp_path / "SCALING.json"))["n_seeds"] == 40000
+    # --out redirects the smaller point without touching the headline
+    out_p = tmp_path / "SCALING_20K.json"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["merge_scaling_runs.py", *paths, "--write", "--out", str(out_p)],
+    )
+    msr.main()
+    assert json.load(open(out_p))["n_seeds"] == 100
+    assert json.load(open(tmp_path / "SCALING.json"))["n_seeds"] == 40000
