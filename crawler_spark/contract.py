@@ -22,10 +22,16 @@ from pyspark.sql import functions as F
 from .functions import neardup as ND
 from .functions import similarity as SIM
 from .functions import text as TX
-from .functions.multimodal import attach_synthetic_images, decode_meta, transcode
+from .functions.multimodal import (
+    attach_synthetic_images,
+    decode_meta,
+    recompress_psnr,
+    transcode,
+)
 from .functions.temporal import asof_join, interval_join
 from .operators.extract import extract_number, take_before, with_page_param
 from .operators.ranking import SMALL_SEQ_MAX_ROWS, global_sequence
+from .operators.skew import salted_join
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -412,6 +418,64 @@ def q_shard_pack(spark, sf):
     )
 
 
+def q_salted_join(spark, sf):
+    """Skew-handled fact⋈dim equi-join (operators.skew.salted_join):
+    events' 5-value event_type key would send every row to ≤5 reducers
+    in a plain shuffled join; the fact side is salted by
+    pmod(xxhash64(event_id), 16) and the dim side replicated 16×, so
+    each hot key spreads across 16 shuffle buckets.  The salt provably
+    does not change the answer — the oracle IS the plain join."""
+    ev = _t(spark, sf, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("long"))
+    )
+    return salted_join(ev, dim, ["event_type"], ["event_id"], n_salts=16).select(
+        "event_id",
+        "event_type",
+        "type_weight",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def q_window_dedup(spark, sf):
+    """Keep-newest-per-key dedup — the re-crawl snapshot pattern (one
+    row per URL, the latest fetch wins): ONE keyed window, ties broken
+    by event_id so the winner is engine-independent.  At 100 TB this is
+    the shape that replaces full-table distinct for versioned corpora
+    (shuffle by key once, no global sort)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q_pivot(spark, sf):
+    """Long→wide pivot: per-user spend by event type as columns.  The
+    pivot value list is PINNED so Spark skips the extra distinct-scan
+    job and the output schema is static — at 100 TB a data-dependent
+    schema is an anti-pattern (one new key = a different table).
+    Missing cells are 0 (money), kept integer-cents exact."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = _t(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    wide = ev.groupBy("user_id").pivot("event_type", types).sum("cents")
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_cents")
+            for t in types
+        ],
+    )
+
+
 def q_crawl_round(spark, sf):
     """Flagship composite — one politeness-budgeted crawl round over
     relational fixtures: frontier=orders (host=o_custkey), budget 2/host,
@@ -724,6 +788,16 @@ def q_image_phash_neardup(spark, sf):
     )
 
 
+def q_image_psnr(spark, sf):
+    """The input_hint per-row invariant as a first-class query: PSNR of
+    every image against its own real-JPEG (quality-99) recompression,
+    computed inside one Arrow kernel (multimodal.recompress_psnr) —
+    bytes never shuffle.  Rows-only: binary codecs are not
+    DuckDB-expressible; the ≥40 dB gate itself is test-pinned."""
+    docs = _t(spark, sf, "documents").limit(100)
+    return recompress_psnr(attach_synthetic_images(docs, "doc_id"), "jpg")
+
+
 def q_frame_sample(spark, sf):
     """Video frame sampling over the real MJV1 motion-frame container
     (crawler_spark.video): every 4th frame of 50 deterministic 12-frame
@@ -768,6 +842,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_interval_join": q_interval_join,
     "q_shard_pack": q_shard_pack,
+    "q_salted_join": q_salted_join,
+    "q_window_dedup": q_window_dedup,
+    "q_pivot": q_pivot,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -792,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
     "q_image_phash_neardup": q_image_phash_neardup,
+    "q_image_psnr": q_image_psnr,
     "q_frame_sample": q_frame_sample,
 }
 
@@ -993,6 +1071,36 @@ ORACLES: dict[str, str] = {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
                     AS BIGINT) AS shard_id
         FROM t
+    """,
+    # the salted join's oracle is the PLAIN join: the salt must not
+    # change a single output row
+    "q_salted_join": """
+        WITH dim AS (
+          SELECT DISTINCT event_type,
+                 CAST(length(event_type) AS BIGINT) AS type_weight
+          FROM events)
+        SELECT event_id, e.event_type, type_weight,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events e JOIN dim USING (event_type)
+    """,
+    "q_window_dedup": """
+        SELECT user_id, event_id, ts, event_type FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+    """,
+    "q_pivot": """
+        SELECT user_id,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0) AS BIGINT) AS click_cents,
+               CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN c END), 0) AS BIGINT) AS view_cents,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0) AS BIGINT) AS purchase_cents,
+               CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN c END), 0) AS BIGINT) AS signup_cents,
+               CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN c END), 0) AS BIGINT) AS error_cents
+        FROM (SELECT user_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        GROUP BY user_id
     """,
     "q_crawl_round": """
         WITH ranked AS (

@@ -303,3 +303,45 @@ def transcode(
             yield pd.DataFrame(rows)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=RESIZED)
+
+
+RECOMPRESS_PSNR = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("psnr_db", T.DoubleType(), True),
+        T.StructField("pass_40db", T.BooleanType(), True),
+    ]
+)
+
+
+def recompress_psnr(
+    images: DataFrame, to_fmt: str, cap_db: float = 99.0
+) -> DataFrame:
+    """The input_hint per-row invariant (decoded-pixel PSNR ≥ 40 dB for
+    lossy) as a dataset operator: decode → re-encode as ``to_fmt`` →
+    decode again → PSNR(original, recompressed), all inside ONE Arrow
+    batch kernel — bytes never shuffle, only the id and two scalars
+    leave the executor.  Lossless round-trips (infinite PSNR) are
+    capped at ``cap_db`` so the column stays finite and hashable;
+    undecodable payloads yield NULL psnr with ``pass_40db = False``
+    (bad bytes are data, not exceptions)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vals, ok = [], [], []
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                ids.append(img_id)
+                try:
+                    px = I.decode_image(bytes(data), str(fmt))
+                    rt = I.decode_image(I.encode_image(px, to_fmt), to_fmt)
+                    db = min(I.psnr(px, rt), cap_db)
+                    vals.append(round(db, 2))
+                    ok.append(db >= 40.0)
+                except Exception:
+                    vals.append(None)
+                    ok.append(False)
+            yield pd.DataFrame({"image_id": ids, "psnr_db": vals, "pass_40db": ok})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=RECOMPRESS_PSNR
+    )

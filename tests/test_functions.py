@@ -491,3 +491,38 @@ def test_image_phash_neardup_catches_recompressed_copies(spark, sf_dir):
     ]
     assert len(true_pairs) >= 0.9 * n_docs
     assert len(true_pairs) == len(rows), "false near-dup pair between unrelated images"
+
+
+def test_recompress_psnr_gate(spark, sf_dir):
+    """input_hint invariant as an operator: real-JPEG quality-99
+    recompression must clear the 40 dB gate on every decodable image;
+    corrupt payloads yield NULL psnr + pass_40db=False, not a failure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crawler_spark import contract as C
+    from crawler_spark.functions.multimodal import recompress_psnr
+
+    rows = C.q_image_psnr(spark, sf_dir).collect()
+    n = min(C._t(spark, sf_dir, "documents").count(), 100)
+    assert len(rows) == n
+    assert all(r["pass_40db"] for r in rows)
+    assert all(r["psnr_db"] is not None and r["psnr_db"] >= 40.0 for r in rows)
+    # corrupt payload: a row, not an exception
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["x"], "bytes": [b"notanimage"], "fmt": ["png"]}
+        )
+    )
+    out = recompress_psnr(bad, "jpg").collect()
+    assert len(out) == 1
+    assert out[0]["pass_40db"] is False and out[0]["psnr_db"] is None
+    # lossless round-trip caps at cap_db instead of going infinite
+    docs = C._t(spark, sf_dir, "documents").limit(3)
+    from crawler_spark.functions.multimodal import attach_synthetic_images
+
+    png = recompress_psnr(
+        attach_synthetic_images(docs, "doc_id").withColumn("fmt", F.lit("png")),
+        "png",
+    ).collect()
+    assert all(r["psnr_db"] == 99.0 and r["pass_40db"] for r in png)

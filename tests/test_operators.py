@@ -372,3 +372,66 @@ def test_running_total_consistent_with_global_sequence(spark):
     seq = {r["k"]: r["seq"] for r in global_sequence(df, ["k"]).collect()}
     pfx = {r["k"]: r["running_total"] for r in running_total(df, ["k"], "one").collect()}
     assert pfx == {k: s - 1 for k, s in seq.items()}
+
+
+# ------------------------------------------------------------ salted join
+
+def test_salted_join_equals_plain_join(spark):
+    import pytest
+
+    from crawler_spark.operators.skew import salted_join
+
+    # skewed fact: one hot key owns 80% of rows
+    fact = spark.range(0, 500).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 5 < 4, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+    )
+    dim = spark.createDataFrame([("hot", 1), ("weird", 3)], "k: string, attr: int")
+    plain = {tuple(r) for r in fact.join(dim, "k").select("rid", "k", "attr").collect()}
+    for n in (1, 7, 16):
+        got = {
+            tuple(r)
+            for r in salted_join(fact, dim, ["k"], ["rid"], n_salts=n)
+            .select("rid", "k", "attr")
+            .collect()
+        }
+        assert got == plain, f"salted inner join diverged at n_salts={n}"
+    # left join: unmatched fact keys ('cold') survive exactly once
+    plain_l = {
+        tuple(r)
+        for r in fact.join(dim, "k", "left").select("rid", "k", "attr").collect()
+    }
+    got_l = {
+        tuple(r)
+        for r in salted_join(fact, dim, ["k"], ["rid"], n_salts=8, how="left")
+        .select("rid", "k", "attr")
+        .collect()
+    }
+    assert got_l == plain_l
+    # right/full would duplicate unmatched dim rows across salts: refuse
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, ["k"], ["rid"], how="right")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of the salt: a hot key's fact rows must land in more
+    than one (key, salt) bucket."""
+    from crawler_spark.operators.skew import SALT_COL, salted_join
+
+    fact = spark.range(0, 200).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("k")
+    )
+    dim = spark.createDataFrame([("hot", 1)], "k: string, attr: int")
+    joined = salted_join(fact, dim, ["k"], ["rid"], n_salts=16)
+    assert SALT_COL not in joined.columns  # salt never leaks to output
+    import pyspark.sql.functions as SF
+
+    n_buckets = (
+        fact.withColumn(
+            SALT_COL, SF.pmod(SF.xxhash64("rid"), SF.lit(16))
+        )
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 12, "200 hashed rows should hit most of 16 salt buckets"
