@@ -476,6 +476,99 @@ def q_pivot(spark, sf):
     )
 
 
+def q_rollup(spark, sf):
+    """Multi-level aggregation via grouping sets — ROLLUP(event_type,
+    user_bucket) in ONE pass (Spark Expand + single shuffle instead of
+    three separate groupBy jobs unioned).  Grouping flags are emitted
+    as explicit int columns so the subtotal rows are self-describing
+    cross-engine."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("user_bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("user_bucket").cast("int").alias("g_bucket"),
+        F.sum("cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_semi_join(spark, sf):
+    """Existence test as LEFT SEMI join — customers with ≥1 order.
+    Semi join never multiplies rows (dim-side duplicates cannot fan
+    out) and ships only the join key of the probe side; at 100 TB this
+    is the shape for 'filter the corpus by membership in a big keyed
+    set' when the set is too large to broadcast a Bloom of."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def q_lag_delta(spark, sf):
+    """Per-user inter-event gap via lag() — the sequence-feature
+    primitive for sessionization/dwell-time.  ONE keyed window (shuffle
+    by user_id, sort within partition); ms-truncated epoch on both
+    engines so the diff is integer-exact.  First event per user keeps
+    NULL (no synthetic zero)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC (session.py)
+    # so the LTZ cast is instant-preserving and matches DuckDB epoch_ms
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    return _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        (ms - F.lag(ms).over(w)).cast("long").alias("gap_ms"),
+    )
+
+
+def q_histogram(spark, sf):
+    """Fixed-width binned histogram of event value (20 bins × 25.0,
+    top-clamped) — the data-profiling primitive.  Bin bounds are PINNED
+    literals, not data-dependent min/max, so the job is one pass with a
+    map-side-combinable groupBy and the schema is static at any scale."""
+    ev = _t(spark, sf, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # per-row cents then integer sum: float-sum order must never
+            # decide a rounding, or the cross-engine hash flakes
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .withColumn("lo", (F.col("bin") * 25).cast("double"))
+    )
+
+
+def q_corpus_filter(spark, sf):
+    """Training-corpus quality gate — the composed keep/drop pipeline
+    (token-count floor, quality-score floor, confident language) every
+    LLM data pipeline runs before dedup.  All three signals come from
+    the shared text kernels (functions/text.py) in ONE narrow pass — no
+    shuffle at all until the caller aggregates; rejected docs carry a
+    machine-readable reason so drop-rate per rule is auditable."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("quality_bp"),
+        TX.predicted_lang("text").alias("pred_lang"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 8, F.lit("too_short"))
+        .when(F.col("quality_bp") < 5500, F.lit("low_quality"))
+        .when(F.col("pred_lang") == "und", F.lit("no_language"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.withColumn("reason", reason).withColumn(
+        "kept", (F.col("reason") == "kept").cast("boolean")
+    )
+
+
 def q_crawl_round(spark, sf):
     """Flagship composite — one politeness-budgeted crawl round over
     relational fixtures: frontier=orders (host=o_custkey), budget 2/host,
@@ -845,6 +938,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_salted_join": q_salted_join,
     "q_window_dedup": q_window_dedup,
     "q_pivot": q_pivot,
+    "q_rollup": q_rollup,
+    "q_semi_join": q_semi_join,
+    "q_lag_delta": q_lag_delta,
+    "q_histogram": q_histogram,
+    "q_corpus_filter": q_corpus_filter,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -1101,6 +1199,78 @@ ORACLES: dict[str, str] = {
         FROM (SELECT user_id, event_type,
                      CAST(round(value * 100) AS BIGINT) AS c FROM events)
         GROUP BY user_id
+    """,
+    "q_rollup": """
+        SELECT event_type, user_bucket,
+               CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+               CAST(GROUPING(user_bucket) AS INTEGER) AS g_bucket,
+               sum(cents) AS sum_cents, count(*) AS n
+        FROM (SELECT event_type,
+                     CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+        GROUP BY ROLLUP(event_type, user_bucket)
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name, c_nationkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_lag_delta": """
+        SELECT user_id, event_id,
+               CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS gap_ms
+        FROM events
+    """,
+    "q_histogram": """
+        SELECT bin, count(*) AS n, sum(c) AS sum_cents,
+               CAST(bin * 25 AS DOUBLE) AS lo
+        FROM (SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bin,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY bin
+    """,
+    "q_corpus_filter": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 cast(len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS n_stopwords,
+                 cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+                      AS n_punct,
+                 greatest(cast(length(text) AS DOUBLE), 1.0) AS chars,
+                 cast(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS s_en,
+                 cast(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+                      AS BIGINT) AS s_de,
+                 cast(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b'))
+                      AS BIGINT) AS s_fr,
+                 cast(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b'))
+                      AS BIGINT) AS s_es
+          FROM documents),
+        q AS (
+          SELECT doc_id, n_tokens,
+                 cast(floor(5000 * least(n_tokens, 128) / 128) AS BIGINT)
+               + least(cast(floor(24000 * n_stopwords / greatest(n_tokens, 1))
+                            AS BIGINT), 3000)
+               + 2000 - least(cast(floor(40000 * n_punct / chars) AS BIGINT), 2000)
+                 AS quality_bp,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                      ELSE 'es' END AS pred_lang
+          FROM s),
+        r AS (
+          SELECT doc_id, n_tokens, quality_bp, pred_lang,
+                 CASE WHEN n_tokens < 8 THEN 'too_short'
+                      WHEN quality_bp < 5500 THEN 'low_quality'
+                      WHEN pred_lang = 'und' THEN 'no_language'
+                      ELSE 'kept' END AS reason
+          FROM q)
+        SELECT doc_id, n_tokens, quality_bp, pred_lang, reason,
+               reason = 'kept' AS kept
+        FROM r
     """,
     "q_crawl_round": """
         WITH ranked AS (
