@@ -45,6 +45,14 @@ HEADLINE = [
     "q_asof_join",
     "q_interval_join",
     "q_shard_pack",
+    "q_salted_join",
+    "q_window_dedup",
+    "q_pivot",
+    "q_rollup",
+    "q_semi_join",
+    "q_lag_delta",
+    "q_histogram",
+    "q_corpus_filter",
     "q_crawl_round",
     "q_frontier_expand",
     "q_extract_office",

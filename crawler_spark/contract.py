@@ -461,18 +461,28 @@ def q_pivot(spark, sf):
     pivot value list is PINNED so Spark skips the extra distinct-scan
     job and the output schema is static — at 100 TB a data-dependent
     schema is an anti-pattern (one new key = a different table).
-    Missing cells are 0 (money), kept integer-cents exact."""
+    Missing cells are 0 (money), kept integer-cents exact.
+
+    Implemented as conditional aggregation (sum(when(type=t, cents)))
+    rather than DataFrame.pivot(): with the value list pinned, .pivot()
+    still plans TWO shuffles (groupBy(user,type) then a pivotfirst
+    regroup by user) while the conditional form is ONE partial+final
+    aggregate around ONE exchange — at 100 TB that second full-table
+    shuffle is the whole cost difference (pinned in
+    tests/test_plan_properties.py)."""
     types = ["click", "view", "purchase", "signup", "error"]
     ev = _t(spark, sf, "events").withColumn(
         "cents", F.round(F.col("value") * 100).cast("long")
     )
-    wide = ev.groupBy("user_id").pivot("event_type", types).sum("cents")
-    return wide.select(
-        "user_id",
+    return ev.groupBy("user_id").agg(
         *[
-            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_cents")
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, F.col("cents"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{t}_cents")
             for t in types
-        ],
+        ]
     )
 
 

@@ -97,3 +97,65 @@ def test_anti_join_dedup_no_cartesian(spark):
     plan = _plan(D.anti_join_seen(cands, seen, None))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_join_is_semi_hash_join(spark, sf_dir):
+    """q_semi_join must plan as a real LeftSemi hash join — existence
+    via semi join never multiplies rows and never materializes the
+    probe side's payload columns into the shuffle."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_semi_join(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_is_hash_join(spark):
+    """The salted join must stay an equi hash join on (key, salt) —
+    the dim-side explode must not degrade it to a nested loop."""
+    from crawler_spark.operators.skew import salted_join
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    dim = spark.createDataFrame([("0", 1), ("1", 2)], "k: string, attr: int")
+    plan = _plan(salted_join(fact, dim, ["k"], ["rid"], n_salts=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan), plan
+
+
+def test_pivot_pinned_values_single_shuffle(spark, sf_dir):
+    """The pinned-value pivot compiles to ONE partial+final aggregate
+    pair around ONE hash exchange — no distinct-scan job for the value
+    list and no second shuffle."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_pivot(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_rollup_one_pass(spark, sf_dir):
+    """ROLLUP is one Expand + one shuffle — NOT three unioned groupBy
+    jobs (that's the anti-pattern it replaces)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_rollup(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Union" not in plan
+
+
+def test_histogram_scan_prunes_to_value(spark, sf_dir):
+    """The profiling histogram reads ONLY the value column (1 of 6) and
+    combines map-side (partial HashAggregate before the exchange)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_histogram(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+    assert cols == ["value"], scan
+    assert plan.count("HashAggregate") >= 2, plan
