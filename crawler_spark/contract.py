@@ -901,6 +901,50 @@ def q_image_psnr(spark, sf):
     return recompress_psnr(attach_synthetic_images(docs, "doc_id"), "jpg")
 
 
+def q_pair_quality(spark, sf):
+    """Joint image+caption quality gate over the input_hint pair shape
+    — the multimodal analogue of q_corpus_filter and the filter every
+    image-caption training pipeline runs before dedup: decode-check +
+    dimension floor + exposure band on the image side, token floor +
+    quality floor on the caption side, one machine-readable reason per
+    pair.  Project-early/join-late: decode_meta ships only (id, meta)
+    out of the Arrow kernel, caption scoring is pure codegen, and the
+    two meet in a metadata-only equi join — bytes never shuffle.
+    Rows-only: pixel decode is not DuckDB-expressible; the row
+    invariants are test-pinned."""
+    docs = _t(spark, sf, "documents").limit(200)
+    meta = decode_meta(attach_synthetic_images(docs, "doc_id"))
+    caps = docs.select(
+        F.format_string("img-%012d", "doc_id").alias("image_id"),
+        F.col("doc_id"),
+        TX.token_count("text").alias("cap_tokens"),
+        TX.quality_score("text").alias("cap_quality_bp"),
+    )
+    paired = meta.join(caps, "image_id")
+    reason = (
+        F.when(~F.col("decode_ok"), F.lit("image_corrupt"))
+        .when((F.col("dec_w") < 16) | (F.col("dec_h") < 16), F.lit("image_too_small"))
+        .when(
+            (F.col("mean_luma") < 16.0) | (F.col("mean_luma") > 240.0),
+            F.lit("bad_exposure"),
+        )
+        .when(F.col("cap_tokens") < 8, F.lit("caption_short"))
+        .when(F.col("cap_quality_bp") < 5500, F.lit("caption_low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return paired.select(
+        "image_id",
+        "doc_id",
+        "dec_w",
+        "dec_h",
+        "mean_luma",
+        "cap_tokens",
+        "cap_quality_bp",
+        reason.alias("reason"),
+        (reason == "kept").cast("boolean").alias("kept"),
+    )
+
+
 def q_frame_sample(spark, sf):
     """Video frame sampling over the real MJV1 motion-frame container
     (crawler_spark.video): every 4th frame of 50 deterministic 12-frame
@@ -978,6 +1022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_decode_meta": q_image_decode_meta,
     "q_image_phash_neardup": q_image_phash_neardup,
     "q_image_psnr": q_image_psnr,
+    "q_pair_quality": q_pair_quality,
     "q_frame_sample": q_frame_sample,
 }
 

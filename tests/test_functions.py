@@ -526,3 +526,27 @@ def test_recompress_psnr_gate(spark, sf_dir):
         "png",
     ).collect()
     assert all(r["psnr_db"] == 99.0 and r["pass_40db"] for r in png)
+
+
+def test_pair_quality_gate(spark, sf_dir):
+    """Joint image+caption gate: every pair gets exactly one reason,
+    kept == (reason=='kept'), and the flags agree with the thresholds
+    recomputed from the row's own columns."""
+    from crawler_spark import contract as C
+
+    rows = C.q_pair_quality(spark, sf_dir).collect()
+    n = min(C._t(spark, sf_dir, "documents").count(), 200)
+    assert len(rows) == n
+    allowed = {
+        "image_corrupt", "image_too_small", "bad_exposure",
+        "caption_short", "caption_low_quality", "kept",
+    }
+    for r in rows:
+        assert r["reason"] in allowed
+        assert r["kept"] == (r["reason"] == "kept")
+        if r["kept"]:
+            assert r["dec_w"] >= 16 and r["dec_h"] >= 16
+            assert 16.0 <= r["mean_luma"] <= 240.0
+            assert r["cap_tokens"] >= 8 and r["cap_quality_bp"] >= 5500
+    assert any(r["kept"] for r in rows), "gate dropped every pair"
+    assert any(not r["kept"] for r in rows), "gate kept every pair"
