@@ -945,6 +945,19 @@ def q_pair_quality(spark, sf):
     )
 
 
+def q_audio_features(spark, sf):
+    """Audio-modality feature extraction over REAL RIFF/WAVE PCM16
+    payloads (crawler_spark.audio — the one modality whose codec needs
+    no external library, so nothing here is a stand-in): duration, RMS
+    level, zero-crossing rate, FFT-dominant pitch per clip, one Arrow
+    kernel, bytes never shuffle.  Rows-only: PCM decode + FFT are not
+    DuckDB-expressible; ground-truth pitch recovery is test-pinned."""
+    docs = _t(spark, sf, "documents").limit(200)
+    from .functions.multimodal import attach_synthetic_audio, audio_features
+
+    return audio_features(attach_synthetic_audio(docs, "doc_id"))
+
+
 def q_frame_sample(spark, sf):
     """Video frame sampling over the real MJV1 motion-frame container
     (crawler_spark.video): every 4th frame of 50 deterministic 12-frame
@@ -1023,6 +1036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_phash_neardup": q_image_phash_neardup,
     "q_image_psnr": q_image_psnr,
     "q_pair_quality": q_pair_quality,
+    "q_audio_features": q_audio_features,
     "q_frame_sample": q_frame_sample,
 }
 

@@ -345,3 +345,114 @@ def recompress_psnr(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=RECOMPRESS_PSNR
     )
+
+
+# --------------------------------------------------------------- audio
+# Same plumbing contract as the image/video kernels: binary column in,
+# metadata projection out via ONE mapInPandas, bytes never shuffle.
+# The codec underneath (crawler_spark.audio) is REAL — RIFF/WAVE PCM16.
+
+from .. import audio as AU  # noqa: E402  (modality kernels grouped here)
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("sr", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("dominant_hz", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Decode every WAV payload → scalar feature row (duration, RMS,
+    zero-crossing rate, FFT-dominant frequency).  Corrupt payloads
+    yield decode_ok=False with NULL features — bad bytes are data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_META.fields}
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                rows["audio_id"].append(aid)
+                try:
+                    x, sr = AU.decode_wav(bytes(data))
+                    f = AU.features(x, sr)
+                    rows["sr"].append(sr)
+                    rows["n_samples"].append(f["n_samples"])
+                    rows["duration_ms"].append(f["duration_ms"])
+                    rows["rms"].append(f["rms"])
+                    rows["zcr"].append(f["zcr"])
+                    rows["dominant_hz"].append(f["dominant_hz"])
+                    rows["decode_ok"].append(True)
+                except Exception:
+                    for k in ("sr", "n_samples", "duration_ms", "rms", "zcr", "dominant_hz"):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, schema=AUDIO_META)
+
+
+AUDIO_RESAMPLED = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def audio_resample(audio: DataFrame, to_sr: int) -> DataFrame:
+    """Decode → linear resample to ``to_sr`` → re-encode WAV, one Arrow
+    kernel per batch.  Undecodable payloads pass through as NULL bytes
+    rather than failing the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_RESAMPLED.fields}
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                rows["audio_id"].append(aid)
+                try:
+                    x, sr = AU.decode_wav(bytes(data))
+                    y = AU.resample_linear(x, sr, to_sr)
+                    rows["bytes"].append(AU.encode_wav(y, to_sr))
+                    rows["sr"].append(to_sr)
+                    rows["n_samples"].append(y.shape[0])
+                except Exception:
+                    rows["bytes"].append(None)
+                    rows["sr"].append(None)
+                    rows["n_samples"].append(None)
+            yield pd.DataFrame(rows)
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, schema=AUDIO_RESAMPLED)
+
+
+def attach_synthetic_audio(df: DataFrame, id_col: str, seed: int = 42, sr: int = 8000) -> DataFrame:
+    """Deterministic WAV payload per integer id (plumbing demo, like
+    attach_synthetic_images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"audio_id": [], "bytes": [], "sr": [], "fmt": []}
+            for k in pdf[id_col].to_numpy():
+                k = int(k)
+                rows["audio_id"].append(f"aud-{k:012d}")
+                rows["bytes"].append(AU.gen_tone(seed, k, sr=sr))
+                rows["sr"].append(sr)
+                rows["fmt"].append("wav")
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("sr", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    return df.select(id_col).mapInPandas(run, schema=schema)

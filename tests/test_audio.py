@@ -1,0 +1,105 @@
+"""Real WAV/PCM16 codec + audio feature plumbing (crawler_spark.audio,
+functions/multimodal audio kernels)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from crawler_spark import audio as AU
+
+
+def test_wav_roundtrip_bit_exact():
+    rng = np.random.default_rng(0)
+    x = rng.integers(-32768, 32767, size=(500, 2), dtype=np.int16)
+    y, sr = AU.decode_wav(AU.encode_wav(x, 22050))
+    assert sr == 22050
+    assert np.array_equal(x, y)
+    # mono 1-D input round-trips as (n, 1)
+    m = rng.integers(-32768, 32767, size=300, dtype=np.int16)
+    y2, _ = AU.decode_wav(AU.encode_wav(m, 8000))
+    assert np.array_equal(y2[:, 0], m)
+
+
+def test_wav_chunk_walk_noncanonical_order():
+    """Decoder must walk RIFF chunks, not assume the canonical 44-byte
+    layout: a LIST chunk injected before data still decodes."""
+    b = AU.gen_tone(42, 7)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    riff_len = struct.unpack("<I", b[4:8])[0] + len(lst)
+    b2 = b"RIFF" + struct.pack("<I", riff_len) + b"WAVE" + lst + b[12:]
+    x, sr = AU.decode_wav(b2)
+    x0, sr0 = AU.decode_wav(b)
+    assert sr == sr0 and np.array_equal(x, x0)
+
+
+def test_wav_rejects_foreign_and_garbage():
+    with pytest.raises(NotImplementedError):
+        AU.decode_wav(b"ID3\x04" + b"\x00" * 40)  # MP3 with ID3 tag
+    with pytest.raises(NotImplementedError):
+        AU.decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        AU.decode_wav(b"notaudio" + b"\x00" * 40)
+    # PCM24 / float WAVs are declared unsupported, not mis-decoded
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    f32 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError):
+        AU.decode_wav(f32)
+
+
+def test_tone_pitch_recovered_by_features():
+    """gen_tone's fundamental is 200..2900 Hz in 100 Hz steps; the FFT
+    dominant-frequency feature must land within one bin of it."""
+    for k in range(10):
+        b = AU.gen_tone(42, k)
+        x, sr = AU.decode_wav(b)
+        f = AU.features(x, sr)
+        rng = np.random.default_rng((42, k))
+        f0 = 200.0 + float(rng.integers(0, 28)) * 100.0
+        bin_hz = sr / f["n_samples"]
+        assert abs(f["dominant_hz"] - f0) <= bin_hz + 1e-9, (k, f, f0)
+        assert f["duration_ms"] == 250
+        assert 0.2 < f["rms"] < 0.7
+
+
+def test_resample_linear_lengths_and_ramp():
+    x = np.arange(0, 1000, dtype=np.int16)[:, None]
+    half = AU.resample_linear(x, 8000, 4000)
+    assert half.shape == (500, 1)
+    dbl = AU.resample_linear(x, 8000, 16000)
+    assert dbl.shape == (2000, 1)
+    # a linear ramp is reproduced exactly by linear interpolation:
+    # sample j of the 500-point output sits at position j*999/499 on
+    # the ramp, whose value IS that position
+    expect = np.round(np.arange(500) * 999.0 / 499.0).astype(np.int16)
+    assert np.array_equal(half[:, 0], expect)
+
+
+def test_audio_features_query_and_corrupt_rows(spark, sf_dir):
+    import pandas as pd
+
+    from crawler_spark import contract as C
+    from crawler_spark.functions.multimodal import audio_features, audio_resample
+
+    rows = C.q_audio_features(spark, sf_dir).collect()
+    n = min(C._t(spark, sf_dir, "documents").count(), 200)
+    assert len(rows) == n
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["duration_ms"] == 250 and r["sr"] == 8000 for r in rows)
+    assert all(200.0 <= r["dominant_hz"] <= 3000.0 for r in rows)
+    # corrupt payload: a row, not an exception
+    bad = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["x"], "bytes": [b"notaudio" + b"\0" * 16]})
+    )
+    out = audio_features(bad).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False and out[0]["rms"] is None
+    # resample kernel: distributed path halves the sample count
+    from crawler_spark.functions.multimodal import attach_synthetic_audio
+
+    docs = C._t(spark, sf_dir, "documents").limit(5)
+    rs = audio_resample(attach_synthetic_audio(docs, "doc_id"), 4000).collect()
+    assert all(r["sr"] == 4000 and r["n_samples"] == 1000 for r in rs)
