@@ -71,6 +71,35 @@ def q_page_url(spark, sf):
     return part.select("p_partkey", with_page_param(base, page).alias("page_url"))
 
 
+def q_url_canon(spark, sf):
+    """URL canonicalization — the north-star's URL-seen primitive as a
+    direct query (canon.py: fragment strip + .html cut + host/path
+    split, all whole-stage-codegen expressions, no Python).  Synthetic
+    URLs exercise every branch: fragments, .html suffixes, query
+    strings, bare hosts.  The xxhash64 identity itself is covered
+    rows-only elsewhere (q_fingerprint); here the string pipeline is
+    oracle-checked exactly."""
+    from .canon import canonical_url_col, host_col, path_col
+
+    part = _t(spark, sf, "part")
+    url = F.concat(
+        F.lit("https://host"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("string"),
+        F.lit(".example/item/"),
+        F.col("p_partkey").cast("string"),
+        F.when(F.col("p_size") % 3 == 0, F.lit(".html#frag"))
+        .when(F.col("p_size") % 3 == 1, F.lit(".html?page=2"))
+        .otherwise(F.lit("")),
+    )
+    return part.select(
+        "p_partkey",
+        url.alias("raw_url"),
+        canonical_url_col(url).alias("canon_url"),
+        host_col(url).alias("host"),
+        path_col(url).alias("path"),
+    )
+
+
 def q_extract_office(spark, sf):
     """P2 — dual schema-variant projection sharing ONE source
     (office_crawler/handler.go:92-102 vs flat_crawler/handler.go:93-104):
@@ -982,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_schema_last": q_schema_last,
     "q_substring_before": q_substring_before,
     "q_page_url": q_page_url,
+    "q_url_canon": q_url_canon,
     "q_safe_cast": q_safe_cast,
     "q_json_decode": q_json_decode,
     "q_run_stamp": q_run_stamp,
@@ -1268,6 +1298,23 @@ ORACLES: dict[str, str] = {
         FROM (SELECT user_id, event_type,
                      CAST(round(value * 100) AS BIGINT) AS c FROM events)
         GROUP BY user_id
+    """,
+    "q_url_canon": """
+        WITH u AS (
+          SELECT p_partkey,
+                 'https://host' || CAST(p_partkey % 7 AS VARCHAR)
+                 || '.example/item/' || CAST(p_partkey AS VARCHAR)
+                 || CASE WHEN p_size % 3 = 0 THEN '.html#frag'
+                         WHEN p_size % 3 = 1 THEN '.html?page=2'
+                         ELSE '' END AS raw_url
+          FROM part)
+        SELECT p_partkey, raw_url,
+               split_part(split_part(raw_url, '#', 1), '.html', 1) AS canon_url,
+               regexp_extract(raw_url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+               regexp_extract(raw_url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS path
+        FROM u
     """,
     "q_rollup": """
         SELECT event_type, user_bucket,
