@@ -268,18 +268,32 @@ def simhash64(
     toks = docs.select(
         F.col(id_col), F.explode(token_array(text_col)).alias("tok")
     ).withColumn("th", hf(F.col("tok")))
+    # SWAR bit-slicing: accumulator m packs TWO bit-counts into 32-bit
+    # lanes of one long — sum((th >> m) & 0x0000000100000001) counts
+    # bit m in the low lane and bit m+32 in the high lane.  32 branch-
+    # free sums replace the naive 64 conditional (±1) sums: half the
+    # aggregate buffers and ~4x cheaper per input row, while the
+    # per-doc token count n recovers the same majority rule exactly
+    # (sum(±1) > 0  ⇔  2*c_j > n).  Lanes cannot overflow below 2^31
+    # tokens per document, so no length cap is needed for exactness.
+    lane_mask = F.lit(0x0000000100000001).cast("long")
     bit_sums = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(64)
-        ]
+            F.sum(F.shiftright(F.col("th"), m).bitwiseAND(lane_mask)).alias(f"acc{m}")
+            for m in range(32)
+        ],
     )
     sig = F.lit(0).cast("long")
     for j in range(64):
+        m, k = j % 32, j // 32
+        c_j = F.shiftright(F.col(f"acc{m}"), 32 * k).bitwiseAND(
+            F.lit(0xFFFFFFFF).cast("long")
+        )
         bit = (1 << j) if j < 63 else -(1 << 63)  # j=63 is the sign bit
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(bit).cast("long")).otherwise(F.lit(0))
+        sig = sig + F.when(2 * c_j > F.col("n_tok"), F.lit(bit).cast("long")).otherwise(
+            F.lit(0)
+        )
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
