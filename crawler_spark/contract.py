@@ -100,6 +100,44 @@ def q_url_canon(spark, sf):
     )
 
 
+def q_robots_gate(spark, sf):
+    """Robots.txt prefix gate (north_rule: robots-gated scheduling) as a
+    direct oracle query — the engine's ``tag_robots`` operator
+    (operators/robots.py, applied at frontier insertion in
+    engine.py:149,:293) over synthetic candidate URLs built from
+    ``part``.  Seven hosts: hosts 0-4 carry a rule row ('/private/'
+    for even host ids, '/listing/' for odd), hosts 5-6 have NO robots
+    row at all, exercising the left-join NULL branch (no rule ⇒
+    allowed) exactly.  Golden robots-compliance tests pin the crawl
+    loop; this pins the predicate itself cross-engine."""
+    from .canon import host_col
+    from .operators.robots import tag_robots
+
+    part = _t(spark, sf, "part")
+    url = F.concat(
+        F.lit("https://host"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("p_size") % 3 == 0, F.lit("/private/"))
+        .when(F.col("p_size") % 3 == 1, F.lit("/listing/"))
+        .otherwise(F.lit("/item/")),
+        F.col("p_partkey").cast("string"),
+        F.lit(".html"),
+    )
+    cand = part.select("p_partkey", url.alias("url"), host_col(url).alias("host"))
+    robots = spark.range(5).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(F.col("id") % 2 == 0, F.lit("/private/"))
+        .otherwise(F.lit("/listing/"))
+        .alias("disallow_prefix"),
+    )
+    return tag_robots(cand, robots).select(
+        "p_partkey", "url", "host", F.col("_blocked").alias("blocked")
+    )
+
+
 def q_extract_office(spark, sf):
     """P2 — dual schema-variant projection sharing ONE source
     (office_crawler/handler.go:92-102 vs flat_crawler/handler.go:93-104):
@@ -331,6 +369,50 @@ def q_host_budget_topk(spark, sf):
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "rn")
+    )
+
+
+def q_crawl_delay_schedule(spark, sf):
+    """G6 timeline variant — the engine's ACTUAL budget expression
+    (operators/politeness.py host_budget_col: base when delay==0, else
+    clamp(round_ms//delay, 1, base)) applied to a frontier-shaped frame,
+    plus the dispatch schedule it implies: row k of a host fires at
+    (k-1)*crawl_delay_ms into the round.  Host delays 0/150/300/450/600
+    ms exercise every clamp branch (8, 4, 2, 1, 1) and hosts 5-6 have
+    no robots row (NULL delay → full base budget).  q_host_budget_topk
+    pins the generic window-rank; this pins the crawl_delay arithmetic
+    itself cross-engine."""
+    from .operators.politeness import host_budget_col
+
+    part = _t(spark, sf, "part")
+    fr = part.select(
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("long").alias("host_id"),
+        F.col("p_partkey").cast("long").alias("url_hash"),
+        (F.col("p_size") % 4).cast("long").alias("priority"),
+        (F.col("p_partkey") % 11).cast("long").alias("page"),
+    )
+    robots = spark.range(5).select(
+        F.col("id").alias("host_id"),
+        (F.col("id") * 150).cast("long").alias("crawl_delay_ms"),
+    )
+    w = Window.partitionBy("host_id").orderBy("priority", "page", "url_hash")
+    return (
+        fr.join(F.broadcast(robots), "host_id", "left")
+        .withColumn(
+            "budget",
+            host_budget_col(F.col("crawl_delay_ms"), 8, 600).cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= F.col("budget"))
+        .select(
+            "host_id",
+            "url_hash",
+            "rn",
+            ((F.col("rn") - 1) * F.coalesce("crawl_delay_ms", F.lit(0)))
+            .cast("long")
+            .alias("sched_offset_ms"),
+            "budget",
+        )
     )
 
 
@@ -1012,6 +1094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_substring_before": q_substring_before,
     "q_page_url": q_page_url,
     "q_url_canon": q_url_canon,
+    "q_robots_gate": q_robots_gate,
     "q_safe_cast": q_safe_cast,
     "q_json_decode": q_json_decode,
     "q_run_stamp": q_run_stamp,
@@ -1027,6 +1110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_nonempty": q_filter_nonempty,
     "q_order_by": q_order_by,
     "q_host_budget_topk": q_host_budget_topk,
+    "q_crawl_delay_schedule": q_crawl_delay_schedule,
     "q_sessionize": q_sessionize,
     "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
@@ -1217,6 +1301,33 @@ ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events) WHERE rn <= 3
     """,
+    "q_crawl_delay_schedule": """
+        WITH fr AS (
+          SELECT CAST(p_partkey % 7 AS BIGINT) AS host_id,
+                 CAST(p_partkey AS BIGINT) AS url_hash,
+                 CAST(p_size % 4 AS BIGINT) AS priority,
+                 CAST(p_partkey % 11 AS BIGINT) AS page
+          FROM part),
+        r AS (
+          SELECT CAST(hid AS BIGINT) AS host_id,
+                 CAST(hid * 150 AS BIGINT) AS crawl_delay_ms
+          FROM (SELECT UNNEST(range(5)) AS hid)),
+        j AS (
+          SELECT fr.host_id, fr.url_hash, r.crawl_delay_ms,
+                 CASE WHEN COALESCE(r.crawl_delay_ms, 0) <= 0 THEN 8
+                      ELSE GREATEST(1, LEAST(8,
+                        CAST(FLOOR(600.0 / r.crawl_delay_ms) AS BIGINT)))
+                 END AS budget,
+                 row_number() OVER (PARTITION BY fr.host_id
+                                    ORDER BY fr.priority, fr.page, fr.url_hash)
+                   AS rn
+          FROM fr LEFT JOIN r USING (host_id))
+        SELECT host_id, url_hash, CAST(rn AS BIGINT) AS rn,
+               CAST((rn - 1) * COALESCE(crawl_delay_ms, 0) AS BIGINT)
+                 AS sched_offset_ms,
+               CAST(budget AS BIGINT) AS budget
+        FROM j WHERE rn <= budget
+    """,
     "q_sessionize": """
         SELECT user_id, event_id,
                cast(sum(CASE WHEN prev IS NULL
@@ -1315,6 +1426,28 @@ ORACLES: dict[str, str] = {
                regexp_extract(raw_url,
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS path
         FROM u
+    """,
+    "q_robots_gate": """
+        WITH u AS (
+          SELECT p_partkey,
+                 p_partkey % 7 AS hid,
+                 CASE WHEN p_size % 3 = 0 THEN '/private/'
+                      WHEN p_size % 3 = 1 THEN '/listing/'
+                      ELSE '/item/' END
+                 || CAST(p_partkey AS VARCHAR) || '.html' AS path
+          FROM part),
+        r AS (
+          SELECT hid,
+                 CASE WHEN hid % 2 = 0 THEN '/private/'
+                      ELSE '/listing/' END AS rule
+          FROM (SELECT UNNEST(range(5)) AS hid))
+        SELECT p_partkey,
+               'https://host' || CAST(u.hid AS VARCHAR) || '.example'
+               || u.path AS url,
+               'host' || CAST(u.hid AS VARCHAR) || '.example' AS host,
+               COALESCE(r.rule, '') <> ''
+               AND starts_with(u.path, r.rule) AS blocked
+        FROM u LEFT JOIN r ON u.hid = r.hid
     """,
     "q_rollup": """
         SELECT event_type, user_bucket,
