@@ -55,6 +55,9 @@ HEADLINE = [
     "q_corpus_filter",
     "q_crawl_round",
     "q_frontier_expand",
+    "q_url_canon",
+    "q_robots_gate",
+    "q_crawl_delay_schedule",
     "q_extract_office",
     "q_schema_last",
     "q_json_envelope",
@@ -67,6 +70,12 @@ HEADLINE = [
     "q_embedding_topk",
     "q_embedding_lsh_topk",
     "q_knn_ivf",
+    # payload-axis headliners: binary image/audio/video columns through
+    # mapInPandas codecs — the graft's image leg, visible per-round
+    "q_image_psnr",
+    "q_pair_quality",
+    "q_frame_sample",
+    "q_audio_features",
 ]
 
 
