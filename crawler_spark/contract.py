@@ -863,6 +863,59 @@ def q_train_split(spark, sf):
     )
 
 
+def q_bigram_topk(spark, sf):
+    """Corpus top-20 bigrams — the adjacent-pair construction stays
+    inside the array (zip_with over two slices, no posexplode
+    self-join), then ONE map-side-combined hash aggregate over the
+    exploded pairs and a 20-row total order over the bigram vocabulary.
+    Single-token and empty docs contribute nothing (slice length 0)."""
+    toks = TX.token_array("text")
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        _t(spark, sf, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "n", "rn")
+    )
+
+
+def q_lm_score(spark, sf):
+    """Unigram-LM document quality score — mean ln(p(token)) under the
+    corpus's own unigram distribution, the classic cheap LM filter for
+    training-data curation (gibberish and boilerplate score low).  Two
+    passes over the exploded tokens: vocabulary counts, then a
+    term-keyed join back and a per-doc mean.  The corpus token total
+    enters as one driver scalar (an aggregate, not a collect); the
+    score is rounded to 4 dp for cross-engine value equality (sum of
+    a few hundred doubles is stable far below 1e-4)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.token_array("text")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = float(toks.count())
+    return (
+        toks.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("n") / F.lit(total))), 4).alias("lm_score"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Stratified deterministic sample: up to 5 docs per language,
     chosen by hash order (not file order) — per-stratum window rank, the
@@ -1134,6 +1187,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_percentiles": q_percentiles,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_bigram_topk": q_bigram_topk,
+    "q_lm_score": q_lm_score,
     "q_tfidf_topk": q_tfidf_topk,
     "q_train_split": q_train_split,
     "q_stratified_sample": q_stratified_sample,
@@ -1626,6 +1681,33 @@ ORACLES: dict[str, str] = {
           FROM (SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents)
           WHERE term <> '' GROUP BY term)
         WHERE rn <= 20
+    """,
+    "q_bigram_topk": f"""
+        WITH t AS (SELECT string_split({_NORM}, ' ') AS l FROM documents),
+        b AS (SELECT unnest(list_transform(
+                generate_series(1, greatest(len(l) - 1, 0)),
+                i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t)
+        SELECT bigram, n, rn FROM (
+          SELECT bigram, count(*) AS n,
+                 CAST(row_number() OVER (ORDER BY count(*) DESC, bigram)
+                      AS BIGINT) AS rn
+          FROM b GROUP BY bigram)
+        WHERE rn <= 20
+    """,
+    "q_lm_score": f"""
+        WITH t2 AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        c AS (SELECT term, count(*) AS n FROM t2 GROUP BY term),
+        tot AS (SELECT count(*) AS total FROM t2)
+        SELECT doc_id,
+               round(avg(ln(n / (SELECT CAST(total AS DOUBLE) FROM tot))), 4)
+                 AS lm_score,
+               CAST(count(*) AS BIGINT) AS n_tok
+        FROM t2 JOIN c USING (term)
+        GROUP BY doc_id
     """,
     "q_tfidf_topk": f"""
         WITH tok AS (
