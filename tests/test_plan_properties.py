@@ -159,3 +159,54 @@ def test_histogram_scan_prunes_to_value(spark, sf_dir):
     cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
     assert cols == ["value"], scan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_robots_gate_is_broadcast_join(spark, sf_dir):
+    """q_robots_gate's rule join must broadcast the rule table — a
+    robots ruleset is O(hosts), never worth a shuffle of the candidate
+    set."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_robots_gate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_crawl_delay_schedule_single_shuffle(spark, sf_dir):
+    """The dispatch-schedule plan is ONE host shuffle feeding the
+    per-host window; the robots/delay side joins broadcast (no second
+    exchange of the frontier)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_crawl_delay_schedule(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bigram_topk_no_self_join(spark, sf_dir):
+    """Bigrams are built inside the token array (zip_with over slices)
+    — the plan must contain NO join (the posexplode self-join
+    anti-pattern shuffles the corpus twice) and must combine map-side."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_bigram_topk(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_lm_score_scan_prunes_and_hash_joins(spark, sf_dir):
+    """q_lm_score reads ONLY (doc_id, text) from documents and its
+    vocabulary join is a hash/sort-merge equi join — never a nested
+    loop over the exploded corpus."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_lm_score(spark, sf_dir))
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+            # the vocabulary-count branch prunes doc_id away entirely
+            assert set(cols) <= {"doc_id", "text"}, line
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
