@@ -73,7 +73,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, sr, _rate, _block, bits = fmt
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(f"only PCM16 supported, got fmt={audio_format} bits={bits}")
+    # fmt fields are unvalidated uint16/uint32 from the wire: an
+    # implausible header is corrupt data and must raise HERE (callers
+    # map that to decode_ok=False) — not survive decode and then kill a
+    # whole Spark task at Arrow int32 conversion of the sr column, or
+    # divide-by-zero inside feature math.
+    if not 1 <= sr <= 2**31 - 1:
+        raise ValueError(f"implausible WAV sample rate {sr}")
+    if not 1 <= ch <= 1024:
+        raise ValueError(f"implausible WAV channel count {ch}")
     x = np.frombuffer(pcm, dtype="<i2")
+    if x.size % ch:
+        raise ValueError("WAV data length not a multiple of the frame size")
     return x.reshape(-1, ch), sr
 
 
@@ -85,8 +96,13 @@ def gen_tone(seed: int, k: int, sr: int = 8000, dur_ms: int = 250) -> bytes:
     n = sr * dur_ms // 1000
     t = np.arange(n) / sr
     f0 = 200.0 + float(rng.integers(0, 28)) * 100.0  # 200..2900 Hz
+    # secondary component: the octave above when it clears Nyquist,
+    # else the octave below — a 2*f0 past sr/2 would alias to an
+    # inharmonic 8000-2*f0 tone, silently breaking the documented
+    # two-sinusoid harmonic structure for f0 > 2000 Hz at sr=8000
+    f1 = f0 * 2.0 if f0 * 2.0 < sr / 2.0 else f0 / 2.0
     x = 0.6 * np.sin(2 * np.pi * f0 * t)
-    x += 0.2 * np.sin(2 * np.pi * (f0 * 2.0) * t)
+    x += 0.2 * np.sin(2 * np.pi * f1 * t)
     x += 0.02 * rng.standard_normal(n)
     return encode_wav(np.clip(x * 32767, -32768, 32767).astype(np.int16), sr)
 

@@ -250,11 +250,13 @@ def main() -> int:
     }
     if dropped:
         summary["dropped_repeats"] = dropped
-    out = json.dumps(summary, indent=2)
     if "--write" in sys.argv:
         path = os.path.join(REPO, "SCALING.json")
         if "--out" in sys.argv:
-            path = sys.argv[sys.argv.index("--out") + 1]
+            i = sys.argv.index("--out") + 1
+            if i >= len(sys.argv):
+                raise SystemExit("--out requires a PATH operand")
+            path = sys.argv[i]
         # Pre-registered largest-fixture rule: SCALING.json is the
         # criterion headline.  Refuse to replace a headline measured on
         # a LARGER fixture with a smaller-fixture merge (use --out for
@@ -270,11 +272,35 @@ def main() -> int:
                     f"n_seeds={cur['n_seeds']}) with a smaller-fixture merge "
                     f"(n_seeds={summary['n_seeds']}); pass --out PATH"
                 )
+            # Largest-fixture rule, preservation half: the prior-point
+            # links must survive every legitimate rewrite.  Equal
+            # fixture → carry the current headline's links forward; a
+            # LARGER fixture displaces the current headline, which is
+            # then published beside the new one and linked as a prior
+            # point itself (exactly how SCALING_20K.json came to be).
+            priors = list(cur.get("prior_fixture_points", []))
+            if 0 < cur.get("n_seeds", 0) < summary["n_seeds"]:
+                disp = f"SCALING_{cur['n_seeds'] // 1000}K.json"
+                disp_path = os.path.join(os.path.dirname(path) or ".", disp)
+                if not os.path.isfile(disp_path):
+                    with open(disp_path, "w") as f:
+                        json.dump(cur, f, indent=2)
+                        f.write("\n")
+                priors.append(
+                    {
+                        "n_seeds": cur["n_seeds"],
+                        "scaling_efficiency": cur.get("scaling_efficiency"),
+                        "criterion_pair": cur.get("criterion_pair"),
+                        "file": disp,
+                    }
+                )
+            if priors:
+                summary["prior_fixture_points"] = priors
         with open(path, "w") as f:
-            f.write(out + "\n")
+            f.write(json.dumps(summary, indent=2) + "\n")
         print(f"{path} written")
     else:
-        print(out)
+        print(json.dumps(summary, indent=2))
     return 0
 
 

@@ -103,3 +103,65 @@ def test_audio_features_query_and_corrupt_rows(spark, sf_dir):
     docs = C._t(spark, sf_dir, "documents").limit(5)
     rs = audio_resample(attach_synthetic_audio(docs, "doc_id"), 4000).collect()
     assert all(r["sr"] == 4000 and r["n_samples"] == 1000 for r in rs)
+
+
+def test_wav_implausible_fmt_fields_are_value_errors():
+    """fmt fields come off the wire unvalidated: a parseable RIFF whose
+    sample rate exceeds int32 (or zero channels / frame-misaligned
+    data) must raise ValueError at decode — callers turn that into a
+    decode_ok=False ROW; surviving decode would instead kill the whole
+    Spark task at Arrow int32 conversion of the sr column."""
+
+    def wav_with(ch=1, sr=8000, n_bytes=4):
+        fmt = struct.pack("<HHIIHH", 1, ch, sr, 1, 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", n_bytes) + b"\x00" * n_bytes
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    for bad in (
+        wav_with(sr=0xFFFFFFFF),
+        wav_with(sr=0),
+        wav_with(ch=0),
+        wav_with(ch=3, n_bytes=4),  # 2 samples over 3 channels
+    ):
+        with pytest.raises(ValueError):
+            AU.decode_wav(bad)
+    AU.decode_wav(wav_with())  # the plausible control still decodes
+
+
+def test_audio_features_row_not_crash_on_sr_overflow(spark):
+    import pandas as pd
+
+    from crawler_spark.functions.multimodal import audio_features
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 0xFFFFFFFF, 1, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out = audio_features(
+        spark.createDataFrame(pd.DataFrame({"audio_id": ["x"], "bytes": [wav]}))
+    ).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False and out[0]["sr"] is None
+
+
+def test_tone_secondary_component_below_nyquist():
+    """The 0.2-amplitude component must be a true octave (above or
+    below f0), never an alias: for every possible f0 the second tone
+    sits strictly below sr/2 and at a 2:1 ratio to f0."""
+    sr = 8000
+    for step in range(28):
+        f0 = 200.0 + step * 100.0
+        f1 = f0 * 2.0 if f0 * 2.0 < sr / 2.0 else f0 / 2.0
+        assert f1 < sr / 2.0, (f0, f1)
+        assert f1 / f0 in (2.0, 0.5)
+    # and the dominant frequency is still recovered for a high-f0 clip
+    for k in range(28):
+        rng = np.random.default_rng((42, k))
+        if 200.0 + float(rng.integers(0, 28)) * 100.0 > 2000.0:
+            b = AU.gen_tone(42, k)
+            x, srr = AU.decode_wav(b)
+            f = AU.features(x, srr)
+            rng = np.random.default_rng((42, k))
+            f0 = 200.0 + float(rng.integers(0, 28)) * 100.0
+            assert abs(f["dominant_hz"] - f0) <= srr / f["n_samples"] + 1e-9
+            break

@@ -444,3 +444,58 @@ def test_write_refuses_smaller_fixture_headline_clobber(tmp_path, monkeypatch):
     msr.main()
     assert json.load(open(out_p))["n_seeds"] == 100
     assert json.load(open(tmp_path / "SCALING.json"))["n_seeds"] == 40000
+
+
+def test_write_carries_prior_points_forward(tmp_path, monkeypatch):
+    """An equal-fixture --write rewrite of SCALING.json must preserve
+    the prior_fixture_points linkage (the largest-fixture rule's
+    provenance half); a larger-fixture rewrite must DISPLACE the old
+    headline to a side file and link it as a new prior point."""
+    import sys
+
+    monkeypatch.setattr(msr, "REPO", str(tmp_path))
+    prior = [{"n_seeds": 20, "scaling_efficiency": 0.7,
+              "criterion_pair": "2->8", "file": "SCALING_0K.json"}]
+    (tmp_path / "SCALING.json").write_text(json.dumps({
+        "n_seeds": 100, "scaling_efficiency": 0.75,
+        "criterion_pair": "2->8", "prior_fixture_points": prior}))
+    # equal fixture: links carried forward verbatim
+    argv = ["merge_scaling_runs.py"]
+    for i in range(2):
+        r = _mk_run([3.2, 3.2, 3.2], [100 + i, 101, 102], [31, 32, 33], n_seeds=100)
+        pa = tmp_path / f"runA{i}.json"
+        pa.write_text(json.dumps(r))
+        argv.append(str(pa))
+    monkeypatch.setattr(sys, "argv", argv + ["--write"])
+    msr.main()
+    s = json.loads((tmp_path / "SCALING.json").read_text())
+    assert s["prior_fixture_points"] == prior
+    # larger fixture: displaced headline published + appended as a prior
+    argv = ["merge_scaling_runs.py"]
+    for i in range(2):
+        r2 = _mk_run([3.3, 3.3, 3.3], [100 + i, 101, 102], [31, 32, 33], n_seeds=4000)
+        pb = tmp_path / f"runB{i}.json"
+        pb.write_text(json.dumps(r2))
+        argv.append(str(pb))
+    monkeypatch.setattr(sys, "argv", argv + ["--write"])
+    msr.main()
+    s2 = json.loads((tmp_path / "SCALING.json").read_text())
+    assert s2["n_seeds"] == 4000
+    pts = s2["prior_fixture_points"]
+    assert prior[0] in pts
+    displaced = [q for q in pts if q["n_seeds"] == 100]
+    assert displaced and (tmp_path / displaced[0]["file"]).is_file()
+
+
+def test_out_flag_requires_operand(tmp_path, monkeypatch):
+    import sys
+
+    argv = ["merge_scaling_runs.py"]
+    for i in range(2):
+        r = _mk_run([3.0], [100 + i], [33])
+        pa = tmp_path / f"run0{i}.json"
+        pa.write_text(json.dumps(r))
+        argv.append(str(pa))
+    monkeypatch.setattr(sys, "argv", argv + ["--write", "--out"])
+    with pytest.raises(SystemExit, match="--out requires"):
+        msr.main()
