@@ -416,6 +416,24 @@ def q_crawl_delay_schedule(spark, sf):
     )
 
 
+def q_pacing_schedule(spark, sf):
+    """Per-host dispatch pacing (operators/politeness.pacing_schedule):
+    the k-th candidate of a host fires at max(arrival, previous dispatch
+    + delay) — the real-time generalization of q_crawl_delay_schedule's
+    fixed timeline.  The recurrence unrolls to one running-max window
+    per host (no iteration), integer-ms exact on both engines.  The
+    streaming twin (streaming.pacing_stream) carries the same
+    recurrence across micro-batches in applyInPandasWithState state."""
+    from .operators.politeness import pacing_schedule
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("host"),
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("ts_ms"),
+        F.col("event_id").cast("long").alias("url_hash"),
+    )
+    return pacing_schedule(ev, 1000).select("host", "url_hash", "ts_ms", "sched_ms")
+
+
 def q_sessionize(spark, sf):
     """Streaming-shaped stateful op: 30-min-gap sessionization via
     lag + running sum (batch mirror of applyInPandasWithState)."""
@@ -1164,6 +1182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_by": q_order_by,
     "q_host_budget_topk": q_host_budget_topk,
     "q_crawl_delay_schedule": q_crawl_delay_schedule,
+    "q_pacing_schedule": q_pacing_schedule,
     "q_sessionize": q_sessionize,
     "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
@@ -1382,6 +1401,26 @@ ORACLES: dict[str, str] = {
                  AS sched_offset_ms,
                CAST(budget AS BIGINT) AS budget
         FROM j WHERE rn <= budget
+    """,
+    "q_pacing_schedule": """
+        WITH e AS (
+          SELECT user_id AS host,
+                 CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                 CAST(event_id AS BIGINT) AS url_hash
+          FROM events),
+        r AS (
+          SELECT host, ts_ms, url_hash,
+                 CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY ts_ms, url_hash) AS BIGINT) AS rn
+          FROM e),
+        s AS (
+          SELECT *, max(ts_ms - rn * 1000) OVER (
+                   PARTITION BY host ORDER BY ts_ms, url_hash
+                   ROWS UNBOUNDED PRECEDING) AS mx
+          FROM r)
+        SELECT host, url_hash, ts_ms,
+               CAST(mx + rn * 1000 AS BIGINT) AS sched_ms
+        FROM s
     """,
     "q_sessionize": """
         SELECT user_id, event_id,

@@ -114,3 +114,38 @@ def spread_partition(dispatch: DataFrame, num_partitions: int) -> DataFrame:
     deterministic column) — the crawl order never depends on physical
     layout either way."""
     return dispatch.repartition(num_partitions, F.col("url_hash"))
+
+
+def pacing_schedule(
+    candidates: DataFrame,
+    delay_ms: int,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+    tiebreak_col: str = "url_hash",
+) -> DataFrame:
+    """Per-host dispatch pacing: the k-th candidate of a host (in
+    (ts, tiebreak) order) fires at ``sched_k = max(ts_k,
+    sched_{k-1} + delay_ms)`` — never before it arrives, never closer
+    than ``delay_ms`` to the previous dispatch of the same host.
+
+    The recurrence unrolls to ``sched_k = max_{j<=k}(ts_j - j*delay)
+    + k*delay``, so it is ONE running-max window per host — no
+    iterative/driver loop, integer-ms exact (oracle-safe), and the
+    state per host inside the window is a single max.  The streaming
+    twin is ``crawler_spark.streaming.pacing_stream`` (same recurrence
+    held in applyInPandasWithState state across micro-batches).
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    rn = F.row_number().over(w).cast("long")
+    base = F.col(ts_col) - rn * F.lit(delay_ms)
+    run_max = F.max(base).over(
+        Window.partitionBy(host_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return candidates.withColumn("_rn", rn).select(
+        *candidates.columns,
+        (run_max + F.col("_rn") * F.lit(delay_ms)).cast("long").alias("sched_ms"),
+    )

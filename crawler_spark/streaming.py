@@ -250,3 +250,88 @@ def sessionize_stream(
             fn, SESSION_OUT, _SESSION_STATE, "append", "EventTimeTimeout"
         )
     )
+
+
+PACING_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("sched_ms", T.LongType(), False),
+    ]
+)
+
+_PACING_STATE = T.StructType([T.StructField("last_sched_ms", T.LongType(), False)])
+
+
+def pacing_stream(
+    candidates: DataFrame,
+    delay_ms: int,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    tiebreak_col: str = "url_hash",
+    watermark_sec: int = 600,
+) -> DataFrame:
+    """Streaming twin of ``operators.politeness.pacing_schedule``: each
+    arriving candidate gets its dispatch slot ``sched = max(arrival,
+    last_sched + delay_ms)``, with the per-host ``last_sched`` carried
+    across micro-batches in ``applyInPandasWithState`` state (one long
+    per active host).
+
+    State GC is LOSSLESS by construction: a host's state is dropped by
+    event-time timeout only once the watermark passes ``last_sched +
+    watermark + delay``.  Any later-accepted event of that host has
+    event time above ``watermark - watermark_delay >= last_sched +
+    delay``, where the recurrence's max() resolves to the arrival time
+    anyway — so the restart emits exactly what the retained state would
+    have.  State is therefore O(hosts active within the horizon), never
+    O(hosts ever seen), and the stream agrees with the batch operator
+    on every in-order prefix (the contract pins the batch side against
+    DuckDB; tests pin stream == batch).
+
+    Within a micro-batch rows are paced in (ts, tiebreak) order; an
+    out-of-order arrival ACROSS batches (within the watermark horizon)
+    is paced on arrival — a real-time scheduler cannot dispatch into
+    the past — which is the one declared divergence from the batch
+    twin's global event-time order.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    horizon_ms = watermark_sec * 1000 + delay_ms
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        ts = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+        order = np.lexsort((pdf[tiebreak_col].to_numpy(), ts))
+        last = state.get[0] if state.exists else None
+        scheds = []
+        for i in order:
+            t = int(ts[i])
+            s = t if last is None else max(t, last + delay_ms)
+            scheds.append(s)
+            last = s
+        state.update((int(last),))
+        state.setTimeoutTimestamp(int(last) + horizon_ms)
+        yield pd.DataFrame(
+            {
+                "host": [key[0]] * len(order),
+                "url_hash": pdf[tiebreak_col].to_numpy()[order],
+                "ts_ms": ts[order],
+                "sched_ms": scheds,
+            }
+        )
+
+    return (
+        candidates.withWatermark(ts_col, f"{watermark_sec} seconds")
+        .groupBy(F.col(host_col))
+        .applyInPandasWithState(
+            fn, PACING_OUT, _PACING_STATE, "append", "EventTimeTimeout"
+        )
+    )

@@ -274,3 +274,87 @@ def test_idempotent_sink_crash_between_write_and_marker(spark, tmp_path):
     data = spark.read.parquet(os.path.join(out, "data"))
     assert data.count() == 2, "replayed batch duplicated rows"
     assert sorted(r["url_hash"] for r in data.collect()) == [1, 2]
+
+
+def test_pacing_stream_equals_batch_operator(spark, tmp_path):
+    """pacing_stream over in-order micro-batches must emit exactly the
+    batch pacing_schedule's rows (the contract pins the batch side
+    against DuckDB; this pins the streaming twin against the batch)."""
+    from crawler_spark.operators.politeness import pacing_schedule
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # host0: bursts arriving faster than the 120s delay; host1 sparse
+    b0 = [(1, 0), (2, 0), (4, 1), (3, 0)]
+    b1 = [(5, 10), (6, 10), (7, 30)]
+    _write_batch(spark, src, _rows(b0), "b0")
+    _write_batch(spark, src, _rows(b1), "b1")
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    paced = ST.pacing_stream(stream, delay_ms=120_000, watermark_sec=600)
+    q = (
+        paced.writeStream.format("memory")
+        .queryName("paced")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["host"], r["url_hash"], r["ts_ms"], r["sched_ms"])
+            for r in spark.sql("SELECT * FROM paced").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_in = spark.createDataFrame(_rows(b0) + _rows(b1), SCHEMA).select(
+        "host",
+        "url_hash",
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("ts_ms"),
+    )
+    expect = {
+        (r["host"], r["url_hash"], r["ts_ms"], r["sched_ms"])
+        for r in pacing_schedule(batch_in, 120_000).collect()
+    }
+    assert got == expect
+    # and the pacing constraint holds per host
+    by_host = {}
+    for h, _, _, s in sorted(got, key=lambda r: r[3]):
+        assert all(abs(s - p) >= 120_000 for p in by_host.get(h, [])), got
+        by_host.setdefault(h, []).append(s)
+
+
+def test_pacing_stream_state_gc_is_lossless(spark, tmp_path):
+    """A host idle past the GC horizon has its state dropped, and a
+    later event restarts the recurrence at its own arrival time — the
+    identical result retained state would give (losslessness proof in
+    the docstring, pinned here end-to-end)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, _rows([(1, 0)]), "b0")
+    # minute 60 advances the watermark (wm 600s) far past
+    # sched(0) + horizon; host0's state times out
+    _write_batch(spark, src, _rows([(2, 60)]), "b1")
+    _write_batch(spark, src, _rows([(3, 90)]), "b2")
+
+    stream = ST.read_parquet_stream(spark, src, SCHEMA)
+    paced = ST.pacing_stream(stream, delay_ms=120_000, watermark_sec=600)
+    q = (
+        paced.writeStream.format("memory")
+        .queryName("paced_gc")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["url_hash"]: (r["ts_ms"], r["sched_ms"])
+            for r in spark.sql("SELECT * FROM paced_gc").collect()
+        }
+    finally:
+        q.stop()
+    # every event schedules at its own arrival (all gaps > delay),
+    # whether its host state survived or was GC'd in between
+    assert len(rows) == 3
+    for ts_ms, sched_ms in rows.values():
+        assert sched_ms == ts_ms, rows
