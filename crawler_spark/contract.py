@@ -416,6 +416,27 @@ def q_crawl_delay_schedule(spark, sf):
     )
 
 
+def q_redirect_resolve(spark, sf):
+    """Redirect-chain resolution (functions/graph.resolve_chains):
+    follow a functional redirect mapping to its terminal URL with exact
+    hop counts, by pointer doubling — ceil(log2 L) self-joins instead
+    of L per-hop iterations (five shuffles for length-32 chains at
+    10^10 URLs).  Fixture: key k redirects to k-1 unless k is a
+    multiple of 5, giving chains of length 1-4 ending at multiples of
+    5.  The DuckDB oracle walks the same mapping with a recursive CTE
+    — a genuinely different algorithm agreeing row-for-row."""
+    from .functions.graph import resolve_chains
+
+    part = _t(spark, sf, "part")
+    mapping = part.filter(F.col("p_partkey") % 5 != 0).select(
+        F.col("p_partkey").cast("long").alias("src"),
+        (F.col("p_partkey") - 1).cast("long").alias("dst"),
+    )
+    return resolve_chains(mapping, max_hops=8).select(
+        F.col("node").alias("url_id"), F.col("final").alias("final_id"), "hops"
+    )
+
+
 def q_pacing_schedule(spark, sf):
     """Per-host dispatch pacing (operators/politeness.pacing_schedule):
     the k-th candidate of a host fires at max(arrival, previous dispatch
@@ -1183,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_host_budget_topk": q_host_budget_topk,
     "q_crawl_delay_schedule": q_crawl_delay_schedule,
     "q_pacing_schedule": q_pacing_schedule,
+    "q_redirect_resolve": q_redirect_resolve,
     "q_sessionize": q_sessionize,
     "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
@@ -1421,6 +1443,22 @@ ORACLES: dict[str, str] = {
         SELECT host, url_hash, ts_ms,
                CAST(mx + rn * 1000 AS BIGINT) AS sched_ms
         FROM s
+    """,
+    "q_redirect_resolve": """
+        WITH RECURSIVE m AS (
+          SELECT CAST(p_partkey AS BIGINT) AS src,
+                 CAST(p_partkey - 1 AS BIGINT) AS dst
+          FROM part WHERE p_partkey % 5 <> 0),
+        r AS (
+          SELECT src AS url_id, dst AS cur, CAST(1 AS BIGINT) AS hops FROM m
+          UNION ALL
+          SELECT r.url_id, m.dst, r.hops + 1
+          FROM r JOIN m ON r.cur = m.src)
+        SELECT url_id, cur AS final_id, hops FROM (
+          SELECT *, row_number() OVER (PARTITION BY url_id
+                                       ORDER BY hops DESC) AS rn
+          FROM r)
+        WHERE rn = 1
     """,
     "q_sessionize": """
         SELECT user_id, event_id,

@@ -99,3 +99,71 @@ def connected_components(
         )
     und.unpersist()
     return labels
+
+
+def resolve_chains(
+    mapping: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 64,
+) -> DataFrame:
+    """(src, final, hops) — follow a functional edge set (each node has
+    at most ONE outgoing edge: redirects, aliases, symlink-style
+    forwarding) to its terminal node, by POINTER DOUBLING: the jump
+    table starts as the 1-hop mapping and composes with itself each
+    round, so a chain of length L resolves in ceil(log2 L) self-joins
+    — at 10^10 URLs with redirect chains of length <=32, five shuffles
+    total, versus 32 for naive per-hop iteration (and no driver-side
+    loop over collected rows).
+
+    Each jump row carries its true hop WEIGHT, so compositions
+    accumulate exact path lengths; a cycle never terminates at a fixed
+    point, so iteration is capped at ``max_hops`` doublings and rows
+    still in flight past the cap keep their partial (final-so-far,
+    hops) — callers that must reject cycles can filter hops >=
+    2**max_hops.  Crawl semantics per the reference's fetch loop:
+    colly follows HTTP redirects internally (a fetched URL IS its
+    terminal target); this operator makes the hop explicit so the
+    URL-seen set can store canonical terminals.
+    """
+    if not (isinstance(src, str) and isinstance(dst, str)):
+        raise TypeError("src/dst are COLUMN NAMES; pass max_hops by keyword")
+    # jump: src -> (to, w) — exactly one row per src (functional graph)
+    jump = mapping.select(
+        F.col(src).alias("j_src"), F.col(dst).alias("j_to"), F.lit(1).alias("j_w")
+    ).persist()
+    # state: every source node, resolved as far as the jump table goes
+    state = mapping.select(
+        F.col(src).alias("node"), F.col(dst).alias("final"), F.lit(1).alias("hops")
+    ).persist()
+    rounds = max(1, max_hops).bit_length()
+    for _ in range(rounds):
+        # compose the jump table with itself: 2^i -> 2^(i+1) hops
+        j2 = (
+            jump.alias("x")
+            .join(jump.alias("y"), F.col("x.j_to") == F.col("y.j_src"), "left")
+            .select(
+                F.col("x.j_src").alias("j_src"),
+                F.coalesce(F.col("y.j_to"), F.col("x.j_to")).alias("j_to"),
+                (
+                    F.col("x.j_w") + F.coalesce(F.col("y.j_w"), F.lit(0))
+                ).alias("j_w"),
+            )
+            .persist()
+        )
+        state2 = (
+            state.join(j2, state["final"] == j2["j_src"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("j_to"), F.col("final")).alias("final"),
+                (F.col("hops") + F.coalesce(F.col("j_w"), F.lit(0))).alias("hops"),
+            )
+            .persist()
+        )
+        jump.unpersist()
+        state.unpersist()
+        jump, state = j2, state2
+    jump.unpersist()
+    return state.select(
+        "node", "final", F.col("hops").cast("long").alias("hops")
+    )

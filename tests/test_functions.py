@@ -550,3 +550,26 @@ def test_pair_quality_gate(spark, sf_dir):
             assert r["cap_tokens"] >= 8 and r["cap_quality_bp"] >= 5500
     assert any(r["kept"] for r in rows), "gate dropped every pair"
     assert any(not r["kept"] for r in rows), "gate kept every pair"
+
+
+def test_resolve_chains_terminals_and_cycle_cap(spark):
+    """Pointer doubling resolves every source to its terminal with the
+    exact hop count; a CYCLE cannot reach a fixed point, so it stops at
+    the doubling cap with hops past any acyclic chain's bound (the
+    documented reject-filter), instead of hanging."""
+    from crawler_spark.functions.graph import resolve_chains
+
+    m = spark.createDataFrame(
+        [(k, k - 1) for k in range(1, 10) if k % 5], "src: long, dst: long"
+    )
+    got = {
+        r["node"]: (r["final"], r["hops"])
+        for r in resolve_chains(m, max_hops=8).collect()
+    }
+    assert got[9] == (5, 4) and got[6] == (5, 1)
+    assert got[4] == (0, 4) and got[1] == (0, 1)
+    # 3-cycle: terminates (capped), hops exceed the acyclic bound
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src: long, dst: long")
+    rows = resolve_chains(cyc, max_hops=4).collect()
+    assert len(rows) == 3
+    assert all(r["hops"] > 4 for r in rows), rows
