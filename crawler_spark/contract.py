@@ -138,6 +138,39 @@ def q_robots_gate(spark, sf):
     )
 
 
+def q_sitemap_extract(spark, sf):
+    """Sitemap-source extraction — the crawl-tier discovery op the
+    reference lacks (it discovers via pagination only): pull every
+    <loc> from sitemap-XML documents with regexp_extract_all (one
+    codegen pass, no XML parser dependency), explode, and canonicalize
+    each URL through the engine's canon pipeline.  Synthetic sitemaps
+    carry three URLs each (plain, ?page query, #fragment) so the
+    canon/host split is exercised on extraction output, not just on
+    literal columns (q_url_canon)."""
+    from .canon import canonical_url_col, host_col
+
+    part = _t(spark, sf, "part")
+    k = F.col("p_partkey").cast("string")
+    h = F.pmod(F.col("p_partkey"), F.lit(7)).cast("string")
+    base = F.concat(F.lit("https://host"), h, F.lit(".example/item/"), k)
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), base,
+        F.lit(".html</loc></url><url><loc>"), base,
+        F.lit(".html?page=2</loc></url><url><loc>"), base,
+        F.lit(".html#frag</loc></url></urlset>"),
+    )
+    locs = F.regexp_extract_all(xml, F.lit("<loc>([^<]*)</loc>"), 1)
+    return (
+        part.select("p_partkey", F.explode(locs).alias("url"))
+        .select(
+            "p_partkey",
+            "url",
+            canonical_url_col(F.col("url")).alias("canon_url"),
+            host_col(F.col("url")).alias("host"),
+        )
+    )
+
+
 def q_extract_office(spark, sf):
     """P2 — dual schema-variant projection sharing ONE source
     (office_crawler/handler.go:92-102 vs flat_crawler/handler.go:93-104):
@@ -1186,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_substring_before": q_substring_before,
     "q_page_url": q_page_url,
     "q_url_canon": q_url_canon,
+    "q_sitemap_extract": q_sitemap_extract,
     "q_robots_gate": q_robots_gate,
     "q_safe_cast": q_safe_cast,
     "q_json_decode": q_json_decode,
@@ -1558,6 +1592,28 @@ ORACLES: dict[str, str] = {
                regexp_extract(raw_url,
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS path
         FROM u
+    """,
+    "q_sitemap_extract": """
+        WITH s AS (
+          SELECT p_partkey,
+                 'https://host' || CAST(p_partkey % 7 AS VARCHAR)
+                 || '.example/item/' || CAST(p_partkey AS VARCHAR) AS base
+          FROM part),
+        x AS (
+          SELECT p_partkey,
+                 '<urlset><url><loc>' || base || '.html</loc></url><url><loc>'
+                 || base || '.html?page=2</loc></url><url><loc>'
+                 || base || '.html#frag</loc></url></urlset>' AS xml
+          FROM s)
+        SELECT p_partkey,
+               url,
+               split_part(split_part(url, '#', 1), '.html', 1) AS canon_url,
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host
+        FROM (SELECT p_partkey,
+                     unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+                       AS url
+              FROM x)
     """,
     "q_robots_gate": """
         WITH u AS (
