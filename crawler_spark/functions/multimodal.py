@@ -55,9 +55,11 @@ def decode_meta(images: DataFrame) -> DataFrame:
                     out["dec_w"].append(px.shape[1])
                     out["dec_h"].append(px.shape[0])
                     out["dec_phash"].append(I.phash64(px))
-                    out["mean_luma"].append(
-                        float(np.round(px.astype(np.float64).mean(), 4))
-                    )
+                    # Rec.601 luma, the same weights phash64 and
+                    # image_embedding use — an unweighted RGB mean
+                    # reports 85.0 for saturated blue where luma is 29.1
+                    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                    out["mean_luma"].append(float(np.round(luma.mean(), 4)))
                     out["decode_ok"].append(True)
                 except Exception:
                     out["image_id"].append(img_id)
@@ -77,7 +79,7 @@ RESIZED = T.StructType(
         T.StructField("bytes", T.BinaryType(), True),
         T.StructField("w", T.IntegerType(), True),
         T.StructField("h", T.IntegerType(), True),
-        T.StructField("fmt", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
     ]
 )
 
@@ -86,13 +88,23 @@ def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Block-mean resize of every decodable payload, re-encoded PNG.
 
     Real kernel (no interpolation library needed: index-binned mean,
-    the same construction phash64 uses)."""
+    the same construction phash64 uses).  Undecodable payloads pass
+    through as NULL bytes (bad bytes are data, not task failures —
+    same contract as audio_resample/decode_meta)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in RESIZED.fields}
             for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = I.decode_image(bytes(data), str(fmt)).astype(np.float64)
+                try:
+                    px = I.decode_image(
+                        bytes(data) if data is not None else b"", str(fmt)
+                    ).astype(np.float64)
+                except Exception:
+                    rows["image_id"].append(img_id)
+                    for k in ("bytes", "w", "h", "fmt"):
+                        rows[k].append(None)
+                    continue
                 h, w, _ = px.shape
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
@@ -117,7 +129,7 @@ def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 EMBED_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
-        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
     ]
 )
 
@@ -135,7 +147,15 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             ids, vecs = [], []
             for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = I.decode_image(bytes(data), str(fmt)).astype(np.float64)
+                try:
+                    px = I.decode_image(
+                        bytes(data) if data is not None else b"", str(fmt)
+                    ).astype(np.float64)
+                except Exception:
+                    # bad bytes are data: NULL embedding, not a dead task
+                    ids.append(img_id)
+                    vecs.append(None)
+                    continue
                 h, w, _ = px.shape
                 luma = px @ np.array([0.299, 0.587, 0.114])
                 yi = (np.arange(4) * h) // 4
@@ -177,14 +197,22 @@ def frame_sample(video: DataFrame, every_n: int = 8) -> DataFrame:
         for pdf in batches:
             vids, idxs, frames, hashes = [], [], [], []
             for vid, data in zip(pdf["image_id"], pdf["bytes"]):
-                raw = bytes(data)
-                for i, off, ln in V.iter_frame_offsets(raw):
-                    if i % every_n:
-                        continue
-                    vids.append(vid)
-                    idxs.append(i)
-                    frames.append(raw[off : off + ln])
-                    hashes.append(I.phash64(V.decode_frame(raw, off, ln)))
+                raw = bytes(data) if data is not None else b""
+                try:
+                    for i, off, ln in V.iter_frame_offsets(raw):
+                        if i % every_n:
+                            continue
+                        vids.append(vid)
+                        idxs.append(i)
+                        frames.append(raw[off : off + ln])
+                        hashes.append(I.phash64(V.decode_frame(raw, off, ln)))
+                except ValueError:
+                    # truncated/garbage MJV1: keep any frames already
+                    # validated, stop at the corruption point (bad bytes
+                    # are data).  NotImplementedError (foreign MP4/WebM
+                    # container) stays a loud failure — that is a
+                    # declared capability gap, not corrupt input.
+                    continue
             yield pd.DataFrame(
                 {"image_id": vids, "frame_idx": idxs, "frame": frames,
                  "frame_phash": pd.Series(hashes, dtype="int64")}

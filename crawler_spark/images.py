@@ -5,8 +5,10 @@ The graft's result table carries image+caption pairs
 caption:string, phash:int64`` — BASELINE.json ``input_hint``).  This
 module implements:
 
-- ``fmt='png'``  — a real, spec-conformant PNG encoder/decoder
-  (zlib + filter-0 scanlines). Lossless round-trip.
+- ``fmt='png'``  — a real, spec-conformant PNG codec.  Encode emits
+  8-bit RGB filter-0 scanlines; decode additionally reconstructs
+  filters 1-4 and gray/gray+alpha/RGBA color types (palette and Adam7
+  are declared-unsupported, not mis-decoded).  Lossless round-trip.
 - ``fmt='jpg'``  — REAL baseline JPEG (``crawler_spark.jpeg``: 2-D DCT,
   standard quantization/Huffman tables, JFIF container), pure numpy —
   no external JPEG library exists in this container.  Lossy; quality 99
@@ -32,7 +34,6 @@ import struct
 import zlib
 
 import numpy as np
-import pandas as pd
 
 QUANT_STEP = 4  # lossy stand-in quantization step → PSNR ≈ 46.9 dB
 
@@ -81,31 +82,94 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def _unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """PNG filter reconstruction (types 0-4) on one scanline of raw
+    bytes.  Up is fully vectorized; Sub/Average/Paeth scan along x
+    (channel-vectorized) because each pixel depends on the previous
+    reconstructed one."""
+    if ftype == 0:
+        return cur
+    if ftype == 2:  # Up
+        return (cur.astype(np.int32) + prev).astype(np.uint8)
+    out = cur.astype(np.int32)
+    n = len(cur)
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            out[i] = (out[i] + out[i - bpp]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (out[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (out[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, w = 8, 0
-    h = 0
+    """(H, W, 3) uint8 RGB from PNG bytes.
+
+    Accepts what real crawls deliver: 8-bit gray (0), RGB (2),
+    gray+alpha (4) and RGBA (6) color types with ANY scanline filter
+    (0-4 reconstruction); alpha is stripped, gray broadcast to RGB.
+    Palette (3) and Adam7 interlace raise NotImplementedError — they
+    are declared unsupported rather than mis-decoded; corrupt data
+    raises ValueError (callers map both to decode_ok=False rows)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h = 8, 0, 0
+    ctype = -1
     idat = b""
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, bit, ctype = struct.unpack(">IIBB", payload[:10])
-            assert bit == 8 and ctype == 2, "decoder supports 8-bit RGB only"
+            w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if bit != 8:
+                raise NotImplementedError(f"PNG bit depth {bit} unsupported (8 only)")
+            if ctype == 3:
+                raise NotImplementedError("palette PNG unsupported")
+            if ctype not in (0, 2, 4, 6):
+                raise ValueError(f"bad PNG color type {ctype}")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG unsupported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    if not (w and h and idat):
+        raise ValueError("truncated PNG")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(idat)
-    stride = 1 + w * 3
+    stride = 1 + w * nch
+    if len(raw) < h * stride:
+        raise ValueError("truncated PNG pixel data")
+    prev = np.zeros(w * nch, dtype=np.uint8)
     rows = []
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
-        assert line[0] == 0, "decoder supports filter 0 only"
-        rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, 3))
-    return np.stack(rows)
+        cur = np.frombuffer(line[1:], dtype=np.uint8)
+        prev = _unfilter_row(line[0], cur, prev, nch)
+        rows.append(prev.reshape(w, nch))
+    px = np.stack(rows)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return px[..., :3]
+    gray = px[..., 0]
+    return np.repeat(gray[..., None], 3, axis=-1)
 
 
 # ------------------------------------------------------------------ lossy stand-in
@@ -199,35 +263,3 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
-
-
-# ------------------------------------------------------------------ vectorized batch kernels
-def decode_phash_batch(bytes_s: pd.Series, fmt_s: pd.Series) -> pd.Series:
-    """phash of the *decoded* payload — used inside pandas UDFs."""
-    out = np.empty(len(bytes_s), dtype=np.int64)
-    for i, (data, fmt) in enumerate(zip(bytes_s.to_numpy(), fmt_s.to_numpy())):
-        out[i] = phash64(decode_image(bytes(data), str(fmt)))
-    return pd.Series(out)
-
-
-def verify_invariants_batch(
-    image_seed: int,
-    image_id_s: pd.Series,
-    bytes_s: pd.Series,
-    fmt_s: pd.Series,
-    w_s: pd.Series,
-    h_s: pd.Series,
-    phash_s: pd.Series,
-) -> pd.DataFrame:
-    """Per-row input_hint invariant: decoded-pixel PSNR (≥40dB lossy /
-    exact lossless) vs regenerated reference pixels + phash equality."""
-    n = len(image_id_s)
-    psnrs = np.empty(n)
-    phash_ok = np.empty(n, dtype=bool)
-    for i in range(n):
-        k = int(str(image_id_s.iloc[i]).rsplit("-", 1)[1])
-        ref = gen_pixels(image_seed, k, int(w_s.iloc[i]), int(h_s.iloc[i]))
-        dec = decode_image(bytes(bytes_s.iloc[i]), str(fmt_s.iloc[i]))
-        psnrs[i] = psnr(dec, ref)
-        phash_ok[i] = phash64(dec) == int(phash_s.iloc[i])
-    return pd.DataFrame({"image_id": image_id_s, "psnr_db": psnrs, "phash_ok": phash_ok})

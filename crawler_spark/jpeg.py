@@ -4,7 +4,10 @@ Spec-conformant ITU-T T.81 baseline sequential DCT, 8-bit, YCbCr,
 4:4:4 (no chroma subsampling), standard Annex-K quantization and
 Huffman tables.  Output decodes in any stock viewer/library; input
 accepts any baseline 4:4:4 JPEG using one quant/Huffman table pair per
-component class.
+component class, including DRI/RSTn restart intervals and marker fill
+bytes (real encoders emit both).  The decoder's bit accumulator is
+masked per read, so decode is O(scan bytes); corrupt/truncated streams
+raise ValueError (callers map that to decode_ok=False rows).
 
 Purpose (VERDICT round-2 task 8): the per-row PSNR≥40dB invariant gate
 (BASELINE.json ``input_hint``) should be exercised against a REAL
@@ -211,10 +214,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def put_marker(self, marker: int) -> None:
+        """Raw FF xx marker bytes — caller must align() first; markers
+        are never byte-stuffed."""
+        self.buf.append(0xFF)
+        self.buf.append(marker)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -227,8 +239,15 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """Baseline JFIF bytes for an (H, W, 3) uint8 RGB array."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 95, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF bytes for an (H, W, 3) uint8 RGB array.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature real encoders use, and the round-trip
+    exerciser for the decoder's restart handling."""
     h, w, _ = pixels.shape
     qt_l, qt_c = _scaled_tables(quality)
     m = _dct_matrix8()
@@ -248,6 +267,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     pred = [0, 0, 0]
     n_mcu = comps[0].shape[0]
     for b in range(n_mcu):
+        if restart_interval and b and b % restart_interval == 0:
+            bw.align()
+            bw.put_marker(0xD0 + ((b // restart_interval - 1) % 8))
+            pred = [0, 0, 0]
         for ci in range(3):
             zz = comps[ci][b]
             dct_tab = dc_l if ci == 0 else dc_c
@@ -296,6 +319,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
         (0x00, _DC_LUM), (0x10, _AC_LUM), (0x01, _DC_CHROM), (0x11, _AC_CHROM)
     ):
         out.append(seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
     sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
     out.append(seg(0xFFDA, sos))
     out.append(scan)
@@ -311,13 +336,19 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
+            # a stuffed FF 00 is a literal FF; any other following byte
+            # would be a marker, which segment splitting already removed
+            # — a lone trailing FF is a truncated stream, not an index
+            # crash
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            if self.data[self.pos] == 0x00:
                 self.pos += 1  # stuffed byte
-            # (restart markers unsupported — encoder never emits them)
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -325,7 +356,14 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # mask the consumed bit away: the accumulator stays <= 8 bits,
+        # keeping every shift O(1) — an unmasked accumulator grows with
+        # the whole scan and turns decode into O(N^2) (measured 3.7 s
+        # for a 58 KB scan; a real 1-2 MB web JPEG would pin an
+        # executor for tens of minutes)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -352,22 +390,53 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _split_restart_segments(scan: bytes) -> list[bytes]:
+    """Entropy data split at RSTn markers (FF D0-D7).  Inside entropy
+    data a literal FF is always stuffed as FF 00 and FF D9 terminates
+    the scan, so FF D0-D7 can ONLY be restart markers — a byte-level
+    split is exact."""
+    segs, start, i = [], 0, 0
+    while True:
+        i = scan.find(b"\xff", i)
+        if i == -1 or i + 1 >= len(scan):
+            break
+        nxt = scan[i + 1]
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(scan[start:i])
+            start = i = i + 2
+        else:
+            i += 2 if nxt == 0x00 else 1
+    segs.append(scan[start:])
+    return segs
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(H, W, 3) uint8 RGB from baseline 4:4:4 JFIF bytes."""
-    assert data[:2] == b"\xff\xd8", "not a JPEG"
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict] = {}
     h = w = 0
+    restart_interval = 0
     comp_spec: list[tuple[int, int]] = []  # (component id, quant table id)
     scan_comp: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     scan_data = b""
     while pos < len(data):
-        assert data[pos] == 0xFF, "marker expected"
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        # spec-legal fill bytes: a marker may be preceded by any number
+        # of extra FFs
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RSTn: standalone, no length word
         (ln,) = struct.unpack(">H", data[pos : pos + 2])
         payload = data[pos + 2 : pos + ln]
         pos += ln
@@ -388,6 +457,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp_spec.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("baseline sequential (SOF0) only")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -407,16 +478,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_data = data[pos : end if end != -1 else len(data)]
             pos = end if end != -1 else len(data)
 
-    assert h and w and scan_data, "truncated JPEG"
+    if not (h and w and scan_data):
+        raise ValueError("truncated JPEG")
     bw_blocks = (w + 7) // 8
     bh_blocks = (h + 7) // 8
     n_mcu = bw_blocks * bh_blocks
     m = _dct_matrix8()
-    br = _BitReader(scan_data)
+    # restart markers byte-align the stream and reset DC prediction
+    # every `restart_interval` MCUs: decode each segment with a fresh
+    # bit reader + fresh predictors (real encoders emit DRI/RSTn
+    # routinely; pre-splitting keeps the per-bit hot path branch-free)
+    segments = _split_restart_segments(scan_data)
+    seg_idx = 0
+    br = _BitReader(segments[0])
     pred = {cid: 0 for cid, _, _ in scan_comp}
     qt_of = dict(comp_spec)
     planes = {cid: np.empty((bh_blocks * 8, bw_blocks * 8)) for cid, _, _ in scan_comp}
     for b in range(n_mcu):
+        if restart_interval and b and b % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart marker")
+            br = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid, _, _ in scan_comp}
         by, bx = divmod(b, bw_blocks)
         for cid, dc_id, ac_id in scan_comp:
             dct_tab, act_tab = huff[0x00 | dc_id], huff[0x10 | ac_id]

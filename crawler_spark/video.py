@@ -54,6 +54,14 @@ def encode_video(
     assert frames, "empty video"
     h, w, _ = frames[0].shape
     assert all(f.shape == (h, w, 3) for f in frames), "mixed frame dims"
+    # explicit container limits (u16/u8 header fields) — a clear error
+    # beats struct.error's opaque 'ubyte format requires 0 <= ...'
+    if len(frames) > 0xFFFF:
+        raise ValueError(f"MJV1 holds at most 65535 frames, got {len(frames)}")
+    if not 1 <= fps <= 255:
+        raise ValueError(f"MJV1 fps must be 1..255, got {fps}")
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError(f"MJV1 frame dims must fit u16, got {w}x{h}")
     out = [_MAGIC, _HDR.pack(len(frames), fps, w, h)]
     for f in frames:
         payload = I.encode_image(f, fmt)
@@ -66,6 +74,8 @@ def probe(data: bytes) -> dict:
     """Container metadata without touching any frame payload."""
     if data[:4] != _MAGIC:
         _reject_foreign(data)
+    if len(data) < 4 + _HDR.size:
+        raise ValueError("truncated MJV1 header")
     n, fps, w, h = _HDR.unpack_from(data, 4)
     return {"n_frames": n, "fps": fps, "w": w, "h": h}
 
@@ -74,11 +84,17 @@ def iter_frame_offsets(data: bytes) -> Iterator[tuple[int, int, int]]:
     """Yield (frame_idx, payload_offset, payload_len) — index walk only."""
     if data[:4] != _MAGIC:
         _reject_foreign(data)
+    if len(data) < 4 + _HDR.size:
+        raise ValueError("truncated MJV1 header")
     (n, _fps, _w, _h) = _HDR.unpack_from(data, 4)
     pos = 4 + _HDR.size
     for i in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated MJV1 frame index")
         (ln,) = struct.unpack_from(">I", data, pos)
         pos += 4
+        if pos + ln > len(data):
+            raise ValueError("truncated MJV1 frame payload")
         yield i, pos, ln
         pos += ln
 
@@ -99,7 +115,12 @@ def sample_frames(
 
 def _reject_foreign(data: bytes) -> None:
     head = bytes(data[:12])
-    if head[4:8] == b"ftyp" or head[:4] == b"RIFF" or head[:4] == b"\x1a\x45\xdf\xa3":
+    # RIFF alone is not a video: WAV and WEBP are RIFF too — only
+    # RIFF....AVI  is the av-library case; other RIFF payloads are
+    # simply not videos (callers distinguish 'legit but unsupported
+    # format' from 'wrong/corrupt data' by exception type)
+    is_avi = head[:4] == b"RIFF" and head[8:12] == b"AVI "
+    if head[4:8] == b"ftyp" or is_avi or head[:4] == b"\x1a\x45\xdf\xa3":
         raise NotImplementedError(
             "inter-coded containers (MP4/AVI/WebM) need an av library; "
             "this sandbox ships the real MJV1 motion-frame container only"

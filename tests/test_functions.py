@@ -573,3 +573,81 @@ def test_resolve_chains_terminals_and_cycle_cap(spark):
     rows = resolve_chains(cyc, max_hops=4).collect()
     assert len(rows) == 3
     assert all(r["hops"] > 4 for r in rows), rows
+
+
+def test_video_foreign_and_truncated_classification():
+    """WAV/WEBP are RIFF but NOT videos — they must be ValueError
+    ('wrong data'), only RIFF/AVI earns the av-library
+    NotImplementedError; truncated MJV1 is ValueError at the exact
+    corruption point, never struct.error."""
+    import struct
+
+    import pytest as _pytest
+
+    from crawler_spark import images as I
+    from crawler_spark import video as V
+
+    wav = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"\x00" * 24
+    with _pytest.raises(ValueError):
+        V.probe(wav)
+    avi = b"RIFF" + struct.pack("<I", 36) + b"AVI " + b"\x00" * 24
+    with _pytest.raises(NotImplementedError):
+        V.probe(avi)
+    good = V.gen_video(42, 9, 16, 12, n_frames=5)
+    for cut in (6, 12, len(good) - 3):
+        with _pytest.raises(ValueError):
+            list(V.iter_frame_offsets(good[:cut]))
+    with _pytest.raises(ValueError):
+        V.encode_video([I.gen_pixels(1, 1, 8, 8)], fps=300)
+
+
+def test_multimodal_kernels_tolerate_corrupt_payloads(spark):
+    """One bad byte string must yield a NULL/skipped row, not a dead
+    Spark task — for resize, image_embedding, AND frame_sample (the
+    contract decode_meta/audio_features already satisfy)."""
+    import pandas as pd
+
+    from crawler_spark import images as I
+    from crawler_spark import video as V
+
+    good_img = I.encode_png(I.gen_pixels(5, 1, 16, 16))
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["ok", "bad"],
+            "bytes": [good_img, b"\x89PNG\r\n\x1a\ngarbage"],
+            "fmt": ["png", "png"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rs = {r["image_id"]: r for r in MM.resize(df, 8, 8).collect()}
+    assert rs["ok"]["bytes"] is not None and rs["bad"]["bytes"] is None
+    em = {r["image_id"]: r for r in MM.image_embedding(df).collect()}
+    assert em["ok"]["embedding"] is not None and em["bad"]["embedding"] is None
+
+    good_vid = V.gen_video(42, 3, 16, 12, n_frames=6)
+    vdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["v-ok", "v-bad"], "bytes": [good_vid, good_vid[:10]]}
+        )
+    )
+    rows = MM.frame_sample(vdf, every_n=2).collect()
+    assert {r["image_id"] for r in rows} == {"v-ok"}
+    assert len([r for r in rows if r["image_id"] == "v-ok"]) == 3
+
+
+def test_decode_meta_mean_luma_is_rec601(spark):
+    """mean_luma must be Rec.601 luma, not an unweighted RGB mean: a
+    saturated blue frame is DARK (29.1), and a threshold gate using the
+    unweighted 85.0 would misclassify colorful images."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark import images as I
+
+    blue = np.zeros((8, 8, 3), dtype=np.uint8)
+    blue[..., 2] = 255
+    pdf = pd.DataFrame(
+        {"image_id": ["b"], "bytes": [I.encode_png(blue)], "fmt": ["png"]}
+    )
+    row = MM.decode_meta(spark.createDataFrame(pdf)).collect()[0]
+    assert row["decode_ok"] and abs(row["mean_luma"] - 255 * 0.114) < 0.01

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from crawler_spark import images as I
 
@@ -90,3 +91,123 @@ def test_real_jpeg_phash_match_on_decoded():
     # and the decoded image stays perceptually close to the source
     d = bin((I.phash64(dec) ^ I.phash64(px)) & ((1 << 64) - 1)).count("1")
     assert d <= 4
+
+
+def test_jpeg_restart_interval_roundtrip_and_bitreader_bound():
+    """DRI/RSTn streams (what real encoders emit) decode identically to
+    the plain stream, and the bit-reader accumulator stays <=8 bits —
+    the unmasked version made decode O(scan^2), a de-facto hang on
+    MB-sized web JPEGs."""
+    from crawler_spark import jpeg as J
+
+    px = I.gen_pixels(7, 2, 72, 48)
+    plain = J.decode_jpeg(J.encode_jpeg(px, quality=95))
+    for ri in (1, 5, 40):
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg(px, quality=95, restart_interval=ri)), plain
+        ), ri
+    br = J._BitReader(J.encode_jpeg(px, quality=95)[200:])
+    for _ in range(5000):
+        try:
+            br.read_bit()
+        except ValueError:
+            break
+        assert br.acc.bit_length() <= 8
+
+
+def test_jpeg_malformed_streams_raise_value_error():
+    """Truncation (incl. a lone trailing FF) and garbage are
+    ValueError, never IndexError/struct.error — callers map ValueError
+    to decode_ok=False rows."""
+    from crawler_spark import jpeg as J
+
+    b = J.encode_jpeg(I.gen_pixels(7, 3, 24, 24))
+    for bad in (b[: len(b) // 2] + b"\xff", b[:20], b"\xff\xd8\xff"):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bad)
+    # spec-legal FF fill bytes before a marker are tolerated
+    assert b[2:4] == b"\xff\xe0"
+    filled = b[:2] + b"\xff\xff" + b[2:]
+    assert np.array_equal(J.decode_jpeg(filled), J.decode_jpeg(b))
+
+
+def _png_with_filters(px_arr, ctype, filters):
+    """Independent PNG writer (filters computed forward) for decoder tests."""
+    import struct as _s
+    import zlib as _z
+
+    h, w = px_arr.shape[:2]
+    nch = px_arr.shape[2] if px_arr.ndim == 3 else 1
+    arr = px_arr.reshape(h, w * nch).astype(np.int32)
+    lines, prev = [], np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = arr[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur.copy()
+            filt[nch:] = (cur[nch:] - cur[:-nch]) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            filt = (cur - ((left + prev) >> 1)) % 256
+        else:
+            filt = np.empty_like(cur)
+            for i in range(w * nch):
+                a = cur[i - nch] if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) % 256
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, payload):
+        return (
+            _s.pack(">I", len(payload)) + tag + payload
+            + _s.pack(">I", _z.crc32(tag + payload))
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(b"".join(lines))) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_real_world_filters_and_color_types():
+    """Foreign PNGs use filters 1-4 and RGBA/gray — the decoder must
+    reconstruct them exactly (previously they were misclassified as
+    corrupt), and reject palette/interlace LOUDLY instead of
+    mis-decoding."""
+    import struct as _s
+    import zlib as _z
+
+    px = I.gen_pixels(11, 1, 33, 17)
+    for f in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(I.decode_png(_png_with_filters(px, 2, f)), px), f
+    rgba = np.dstack([px, np.full(px.shape[:2], 200, np.uint8)])
+    assert np.array_equal(I.decode_png(_png_with_filters(rgba, 6, [4, 2])), px)
+    gray = px[..., 0]
+    g3 = np.repeat(gray[..., None], 3, axis=-1)
+    assert np.array_equal(I.decode_png(_png_with_filters(gray, 0, [1, 3])), g3)
+    ga = np.dstack([gray, gray])
+    assert np.array_equal(I.decode_png(_png_with_filters(ga, 4, [4])), g3)
+
+    def hdr_only(ctype, interlace):
+        ihdr = _s.pack(">IIBBBBB", 4, 4, 8, ctype, 0, 0, interlace)
+        def chunk(tag, payload):
+            return (
+                _s.pack(">I", len(payload)) + tag + payload
+                + _s.pack(">I", _z.crc32(tag + payload))
+            )
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+    with pytest.raises(NotImplementedError):
+        I.decode_png(hdr_only(3, 0))  # palette
+    with pytest.raises(NotImplementedError):
+        I.decode_png(hdr_only(2, 1))  # Adam7
