@@ -58,6 +58,9 @@ HEADLINE = [
     "q_url_canon",
     "q_robots_gate",
     "q_crawl_delay_schedule",
+    "q_pagerank_hosts",
+    "q_anchor_text",
+    "q_content_sniff",
     "q_extract_office",
     "q_schema_last",
     "q_json_envelope",

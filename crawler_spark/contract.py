@@ -470,6 +470,103 @@ def q_redirect_resolve(spark, sf):
     )
 
 
+def q_pagerank_hosts(spark, sf):
+    """Host-authority PageRank (functions/graph.pagerank): 5 synchronous
+    iterations over the host link graph in EXACT micro-unit integer
+    arithmetic (``rank DIV outdeg`` contributions, damping 85/100,
+    dangling mass dropped) — integer sums are order-independent, so the
+    result hash-matches across engines and parallelism where a float
+    PageRank would drift.  The frontier-priority upgrade over the
+    reference's insertion-order host dispatch
+    (otodom/orchestrator/handler.go:59-101).  One edges⋈ranks shuffle +
+    one aggregation per iteration, rank table only in motion.  The
+    DuckDB oracle unrolls the identical recurrence as chained CTEs —
+    a genuinely independent evaluation order agreeing bit-for-bit."""
+    from .functions.graph import pagerank
+
+    edges = (
+        _t(spark, sf, "orders")
+        .select(
+            (F.col("o_custkey") % 1000).cast("long").alias("src"),
+            (F.col("o_orderkey") % 1000).cast("long").alias("dst"),
+        )
+        .filter("src <> dst")
+    )
+    return pagerank(edges, n_iter=5).select(
+        F.col("node").alias("host_id"), "rank_micros"
+    )
+
+
+def q_anchor_text(spark, sf):
+    """Anchor-text aggregation — the classic web-index signal: for
+    every link target, the top-3 terms used in anchors pointing at it
+    (term-count desc, term asc tie-break).  Explode → two-key count →
+    per-target row_number window; the count aggregation is map-side
+    combinable and the window partitions by target, so at 10^12 links
+    the only full-width shuffle carries (target, term) partial counts,
+    never raw anchors."""
+    links = _t(spark, sf, "part").select(
+        (F.col("p_partkey") % 500).cast("long").alias("target_id"),
+        F.explode(F.split(F.col("p_name"), " ")).alias("term"),
+    )
+    counts = links.groupBy("target_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("target_id").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter("rank <= 3")
+
+
+def q_content_sniff(spark, sf):
+    """Magic-byte content-type sniffing over a BinaryType payload
+    column — the fetch-side classifier a multimodal crawl runs before
+    routing bytes to the image/audio/video decoders (images.py,
+    audio.py, video.py all assume their container; this is the
+    dispatcher).  The payload is built with unhex() and sniffed with
+    binary substring+hex — pure whole-stage-codegen JVM expressions,
+    bytes never touch Python.  The DuckDB oracle classifies the same
+    hex text by prefix: engines traverse different representations
+    (bytes vs hex chars) of the same value and must agree."""
+    key = F.col("p_partkey")
+    payload = F.lpad(key.cast("string"), 16, "0")  # decimal digits = valid hex
+    m = key % 6
+    hx = F.concat(
+        F.when(m == 0, F.lit("89504E470D0A1A0A"))
+        .when(m == 1, F.lit("FFD8FFE000104A464946"))
+        .when(m == 2, F.lit("474946383961"))
+        .when(
+            m == 3,
+            F.concat(F.lit("52494646"), payload.substr(1, 8), F.lit("57415645")),
+        )
+        .when(m == 4, F.lit("255044462D312E34"))
+        .otherwise(F.lit("4445414442454546")),
+        payload,
+    )
+    b = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("file_id"), F.unhex(hx).alias("data")
+    )
+
+    def h(pos: int, n: int):  # hex of payload bytes [pos, pos+n)
+        return F.hex(F.expr(f"substring(data, {pos}, {n})"))
+
+    mime = (
+        F.when(h(1, 8) == "89504E470D0A1A0A", "image/png")
+        .when(h(1, 3) == "FFD8FF", "image/jpeg")
+        .when(h(1, 6).isin("474946383761", "474946383961"), "image/gif")
+        .when((h(1, 4) == "52494646") & (h(9, 4) == "57415645"), "audio/x-wav")
+        .when(h(1, 5) == "255044462D", "application/pdf")
+        .otherwise("application/octet-stream")
+    )
+    return b.select(
+        "file_id",
+        F.length("data").cast("long").alias("n_bytes"),
+        mime.alias("mime"),
+    )
+
+
 def q_pacing_schedule(spark, sf):
     """Per-host dispatch pacing (operators/politeness.pacing_schedule):
     the k-th candidate of a host fires at max(arrival, previous dispatch
@@ -1021,6 +1118,27 @@ def q_dup_clusters(spark, sf):
     )
 
 
+def q_neardup_dedup(spark, sf):
+    """END-TO-END corpus dedup: near-dup pairs (exact n-gram Jaccard)
+    → connected components → one keeper per cluster (min doc_id) with
+    its cluster size — the full pipeline a training-data build runs,
+    composed from q_ngram_jaccard's pair kernel and q_dup_clusters'
+    resolution, verified as ONE query against a recursive-CTE oracle.
+    Swap the pair stage for minhash_neardup_pairs at 10^10 docs (the
+    downstream composition is identical); the keeper aggregation adds
+    one map-side-combinable count over the component labels."""
+    from .functions.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
+    cc = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return cc.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash+LSH near-dup pairs, exact-verified.  Portable md5-int60
     shingle hashes: the DuckDB oracle replays signatures (HUGEINT
@@ -1239,6 +1357,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_delay_schedule": q_crawl_delay_schedule,
     "q_pacing_schedule": q_pacing_schedule,
     "q_redirect_resolve": q_redirect_resolve,
+    "q_pagerank_hosts": q_pagerank_hosts,
+    "q_anchor_text": q_anchor_text,
+    "q_content_sniff": q_content_sniff,
     "q_sessionize": q_sessionize,
     "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
@@ -1268,6 +1389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_train_split": q_train_split,
     "q_stratified_sample": q_stratified_sample,
     "q_dup_clusters": q_dup_clusters,
+    "q_neardup_dedup": q_neardup_dedup,
     "q_minhash_neardup": q_minhash_neardup,
     "q_simhash_neardup": q_simhash_neardup,
     "q_rolling_fingerprint": q_rolling_fingerprint,
@@ -1308,6 +1430,59 @@ def _md5i(expr: str) -> str:
 _MH_A, _MH_B = ND._perm_params(64, seed=42)
 _MH_PARAMS = "[" + ",".join(f"[{int(a)},{int(b)}]" for a, b in zip(_MH_A, _MH_B)) + "]"
 _MH_MAXSIG = "[" + ",".join(["9223372036854775807"] * 64) + "]"
+
+# shared by q_dup_clusters / q_neardup_dedup: n-gram-Jaccard near-dup
+# pairs (same derivation as q_ngram_jaccard) plus the recursive
+# transitive closure over the undirected pair graph
+_DUP_CC_CTE = f"""WITH RECURSIVE
+        docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (
+          SELECT a, b FROM pairs
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE round(cast(inter AS DOUBLE)
+                      / cast(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.4),
+        und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        reach(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.n, u.v FROM reach r JOIN und u ON u.u = r.m)"""
+
+
+def _pagerank_sql(n_iter: int, damping_pct: int = 85) -> str:
+    """DuckDB mirror of functions/graph.pagerank: the same integer
+    recurrence unrolled as one chained CTE per iteration (fixture =
+    q_pagerank_hosts' orders-derived host graph)."""
+    base = (100 - damping_pct) * 10_000
+    ctes = [
+        """e AS (
+          SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+          FROM orders WHERE o_custkey % 1000 <> o_orderkey % 1000),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT n.node,
+                 CAST({base} + ({damping_pct} * COALESCE(c.s, 0)) // 100
+                      AS BIGINT) AS rank_micros
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank_micros // d.outdeg) AS s
+            FROM e JOIN r{i - 1} r ON r.node = e.src
+                   JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) c ON c.node = n.node)""")
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT node AS host_id, rank_micros FROM r{n_iter}"
+    )
 _MH_BAND_EQ = " OR ".join(
     f"list_slice(x.sig,{i * 4 + 1},{i * 4 + 4}) = list_slice(y.sig,{i * 4 + 1},{i * 4 + 4})"
     for i in range(16)
@@ -1882,26 +2057,62 @@ ORACLES: dict[str, str] = {
     # (UNION-deduped recursive CTE) and min-reachable-id per node — the
     # declarative mirror of the Spark side's min-label propagation
     "q_dup_clusters": f"""
-        WITH RECURSIVE
-        docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
-        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM docs),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        pairs AS (
-          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
-          GROUP BY 1, 2),
-        e AS (
-          SELECT a, b FROM pairs
-          JOIN sizes sa ON sa.doc_id = a
-          JOIN sizes sb ON sb.doc_id = b
-          WHERE round(cast(inter AS DOUBLE)
-                      / cast(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.4),
-        und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
-        reach(n, m) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.n, u.v FROM reach r JOIN und u ON u.u = r.m)
+        {_DUP_CC_CTE}
         SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """,
+    # the e2e composition: same closure, then one keeper per component
+    # (min doc_id = component label) with its member count
+    "q_neardup_dedup": f"""
+        {_DUP_CC_CTE}
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM (SELECT n, min(m) AS doc_id FROM reach GROUP BY n)
+        GROUP BY doc_id
+    """,
+    "q_pagerank_hosts": _pagerank_sql(n_iter=5),
+    "q_anchor_text": """
+        WITH l AS (
+          SELECT p_partkey % 500 AS target_id,
+                 unnest(string_split(p_name, ' ')) AS term
+          FROM part),
+        c AS (SELECT target_id, term, count(*) AS cnt FROM l GROUP BY 1, 2)
+        SELECT target_id, term, cnt, rank FROM (
+          SELECT target_id, term, cnt,
+                 CAST(row_number() OVER (
+                     PARTITION BY target_id ORDER BY cnt DESC, term
+                 ) AS BIGINT) AS rank
+          FROM c)
+        WHERE rank <= 3
+    """,
+    # classifies the HEX TEXT by prefix where Spark sniffs the decoded
+    # BYTES with binary substring+hex — same value, different
+    # representation, must agree
+    "q_content_sniff": """
+        WITH b AS (
+          SELECT p_partkey AS file_id,
+                 CASE CAST(p_partkey % 6 AS INTEGER)
+                   WHEN 0 THEN '89504E470D0A1A0A'
+                   WHEN 1 THEN 'FFD8FFE000104A464946'
+                   WHEN 2 THEN '474946383961'
+                   WHEN 3 THEN '52494646'
+                        || substr(lpad(CAST(p_partkey AS VARCHAR), 16, '0'), 1, 8)
+                        || '57415645'
+                   WHEN 4 THEN '255044462D312E34'
+                   ELSE '4445414442454546'
+                 END || lpad(CAST(p_partkey AS VARCHAR), 16, '0') AS hx
+          FROM part)
+        SELECT file_id,
+               CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+               CASE
+                 WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+                 WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                 WHEN substr(hx, 1, 12) IN ('474946383761', '474946383961')
+                      THEN 'image/gif'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '57415645' THEN 'audio/x-wav'
+                 WHEN substr(hx, 1, 10) = '255044462D' THEN 'application/pdf'
+                 ELSE 'application/octet-stream'
+               END AS mime
+        FROM b
     """,
     # CAST(... AS DOUBLE[]): duckdb's list_cosine_similarity computes in
     # float32 on FLOAT[] inputs; Spark's aggregate() accumulates in double.

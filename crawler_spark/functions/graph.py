@@ -101,6 +101,78 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank_micros) after ``n_iter`` synchronous PageRank
+    iterations — host-authority scoring for frontier prioritization
+    (the reference crawls hosts blindly in insertion order,
+    otodom/orchestrator/handler.go:59-101; rank-ordered frontiers are
+    the standard web-scale upgrade).
+
+    EXACT integer arithmetic: ranks live in micro-units (node mass
+    starts at 1_000_000), each iteration a node sends
+    ``rank DIV outdeg`` to every out-neighbor and collects
+    ``(100-damping_pct)*10_000 + damping_pct*inflow DIV 100``.
+    Integer sums are associative-exact, so the result is bit-identical
+    at any parallelism and cross-engine (a float PageRank hash-diverges
+    under Spark's nondeterministic partial-sum order).  Dangling-node
+    mass is dropped (the "pruned" PageRank variant) — documented, not a
+    bug; total mass is not conserved but relative authority is.
+
+    One edges⋈ranks shuffle + one sum aggregation per iteration.  The
+    edge table (joined to its out-degrees once) is persisted and only
+    the small rank table moves per round; at 10^10 edges pre-partition
+    the persisted edge frame by ``src`` so iterations reuse its
+    exchange.  Unlike connected_components there is NO per-iteration
+    action (fixed iteration count, no convergence probe), so the whole
+    recurrence is ONE lazy plan — linear in n_iter, each cached input
+    referenced by name — materialized by a single eager
+    ``localCheckpoint`` at the end: one Spark job total, and the
+    persisted inputs are released immediately after it.
+    """
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(deg, "e_src").persist()
+    base = (100 - damping_pct) * 10_000
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank_micros")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew.e_src == ranks.node, "inner")
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr("rank_micros DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(c, 0L)) DIV 100")
+            )
+            .cast("long")
+            .alias("rank_micros"),
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def resolve_chains(
     mapping: DataFrame,
     src: str = "src",

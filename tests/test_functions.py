@@ -651,3 +651,32 @@ def test_decode_meta_mean_luma_is_rec601(spark):
     )
     row = MM.decode_meta(spark.createDataFrame(pdf)).collect()[0]
     assert row["decode_ok"] and abs(row["mean_luma"] - 255 * 0.114) < 0.01
+
+
+def test_pagerank_matches_python_reference(spark):
+    """graph.pagerank vs an independent pure-Python evaluation of the
+    same integer recurrence on a hand-built graph (hub, chain, dangling
+    sink, isolated-from-src node) — exact equality, plus the authority
+    ordering a PageRank must produce (hub out-ranks its spokes)."""
+    from crawler_spark.functions.graph import pagerank
+
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["rank_micros"] for r in pagerank(df, n_iter=5).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        inflow = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                inflow[d] += rank[s] // len(ds)
+        rank = {n: 150_000 + (85 * inflow[n]) // 100 for n in nodes}
+    assert got == rank
+    assert got[0] > max(got[1], got[2], got[3])  # hub wins
+    assert got[6] > got[5] > got[4] == 150_000  # chain accumulates; source is base

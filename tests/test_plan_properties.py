@@ -210,3 +210,35 @@ def test_lm_score_scan_prunes_and_hash_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
+
+
+def test_anchor_text_pruned_scan_two_shuffles(spark, sf_dir):
+    """Anchor-text top-k reads ONLY (p_partkey, p_name), combines the
+    term counts map-side, and needs exactly two exchanges: one for the
+    (target, term) count, one for the per-target ranking window."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_anchor_text(spark, sf_dir))
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+            assert set(cols) <= {"p_partkey", "p_name"}, line
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_content_sniff_is_codegen_binary(spark, sf_dir):
+    """Magic-byte sniffing runs entirely as JVM expressions over the
+    BinaryType column — no Python evaluation node, no join, scan
+    pruned to p_partkey."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_content_sniff(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+            assert cols == ["p_partkey"], line
