@@ -61,6 +61,9 @@ HEADLINE = [
     "q_pagerank_hosts",
     "q_anchor_text",
     "q_content_sniff",
+    "q_surt_index",
+    "q_snapshot_diff",
+    "q_html_strip",
     "q_extract_office",
     "q_schema_last",
     "q_json_envelope",

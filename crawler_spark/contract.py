@@ -171,6 +171,104 @@ def q_sitemap_extract(spark, sf):
     )
 
 
+def q_surt_index(spark, sf):
+    """SURT-keyed URL index (Sort-friendly URI Reordering Transform,
+    the CDX/web-archive canonical ordering): reverse the host labels so
+    all URLs of a registrable domain sort adjacent —
+    ``com,example,www)/path`` — which turns per-domain range scans over
+    a 10^11-row URL index into contiguous reads and makes the index
+    range-partitionable by domain prefix.  Pure codegen (split /
+    reverse / array_join); the oracle mirrors with list_reverse +
+    array_to_string."""
+    k = F.col("p_partkey").cast("string")
+    url = F.concat(
+        F.lit("https://www.sub"),
+        F.pmod(F.col("p_partkey"), F.lit(5)).cast("string"),
+        F.lit(".example"),
+        F.pmod(F.col("p_partkey"), F.lit(3)).cast("string"),
+        F.lit(".com/item/"),
+        k,
+    )
+    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/]+(/.*)$", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), path
+    )
+    return _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("url_id"), url.alias("url"), surt.alias("surt")
+    )
+
+
+def q_snapshot_diff(spark, sf):
+    """Re-crawl snapshot diff — the incremental-crawl primitive: full
+    outer join of two (url, fingerprint) snapshots, classifying every
+    URL as added / removed / changed (unchanged rows are dropped
+    before the shuffle output).  Fixture: old = keys not ≡0 (mod 10),
+    new = keys not ≡0 (mod 7), content fingerprint flips for keys ≡0
+    (mod 3) — exercising all three branches.  At 10^10 URLs both sides
+    shuffle once on url_id; fingerprints are md5 so the compare ships
+    32 bytes/row, never page bodies."""
+    part = _t(spark, sf, "part")
+    old = part.filter(F.col("p_partkey") % 10 != 0).select(
+        F.col("p_partkey").alias("url_id"), F.md5(F.col("p_name")).alias("old_fp")
+    )
+    new = part.filter(F.col("p_partkey") % 7 != 0).select(
+        F.col("p_partkey").alias("url_id"),
+        F.md5(
+            F.when(
+                F.col("p_partkey") % 3 == 0, F.concat(F.col("p_name"), F.lit("!"))
+            ).otherwise(F.col("p_name"))
+        ).alias("new_fp"),
+    )
+    j = old.join(new, "url_id", "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.withColumn("change", change).filter("change <> 'unchanged'").select(
+        "url_id", "change"
+    )
+
+
+def q_html_strip(spark, sf):
+    """Visible-text extraction from HTML — the boilerplate-strip pass a
+    training corpus runs on every fetched page: drop <script> blocks
+    (content and all), strip remaining tags, decode the common
+    entities, collapse whitespace.  Three regexp_replace passes of
+    whole-stage codegen, no parser dependency, no Python; the oracle
+    replays the identical automaton-compatible patterns (no
+    backreferences, RE2-safe)."""
+    part = _t(spark, sf, "part")
+    html = F.concat(
+        F.lit("<html><head><script>var k="),
+        F.col("p_partkey").cast("string"),
+        F.lit(";</script></head><body><h1>"),
+        F.col("p_name"),
+        F.lit("</h1><p class=\"c\">"),
+        F.col("p_type"),
+        F.lit(" &amp; co &lt;since "),
+        F.col("p_size").cast("string"),
+        F.lit("&gt;</p></body></html>"),
+    )
+    no_script = F.regexp_replace(html, r"<script[^>]*>[^<]*</script>", " ")
+    no_tags = F.regexp_replace(no_script, r"<[^>]*>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+        ),
+        "&gt;",
+        ">",
+    )
+    text = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return part.select(
+        F.col("p_partkey").alias("doc_id"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def q_extract_office(spark, sf):
     """P2 — dual schema-variant projection sharing ONE source
     (office_crawler/handler.go:92-102 vs flat_crawler/handler.go:93-104):
@@ -1245,6 +1343,53 @@ def q_image_phash_neardup(spark, sf):
     )
 
 
+def q_image_phash_clusters(spark, sf):
+    """Image dedup END-TO-END on the image axis: phash Hamming pairs
+    (q_image_phash_neardup's kernel) → connected components → one
+    keeper per visual cluster — what a 100 TB image corpus actually
+    ships to training (one representative per recompressed family),
+    mirroring q_neardup_dedup's text pipeline.  String image ids are
+    hashed to int64 nodes for the min-label propagation (md5-int60,
+    collision odds ~n²/2^60) and mapped back to ids by join; keeper =
+    the image whose hash is the component label.  Rows-only: binary
+    codecs are not DuckDB-expressible; orig∪copy co-clustering is
+    test-pinned."""
+    from .functions.graph import connected_components
+
+    docs = _t(spark, sf, "documents").limit(100)
+    orig = attach_synthetic_images(docs, "doc_id")
+    copies = transcode(orig, "jpg")
+    sigs = (
+        decode_meta(orig.unionByName(copies))
+        .filter(F.col("decode_ok"))
+        .select("image_id", F.col("dec_phash").alias("simhash"))
+        .persist()
+    )
+    ids = sigs.select("image_id", TX.md5_int60(F.col("image_id")).alias("node"))
+    pairs = ND.simhash_neardup_pairs(
+        sigs, max_hamming=3, id_col="image_id", max_bucket=None
+    ).select(
+        TX.md5_int60(F.col("a")).alias("a"), TX.md5_int60(F.col("b")).alias("b")
+    )
+    cc = connected_components(pairs, nodes=ids.select("node"))
+    out = (
+        cc.join(ids, "node")
+        .join(
+            ids.select(
+                F.col("node").alias("component"),
+                F.col("image_id").alias("keeper_image_id"),
+            ),
+            "component",
+        )
+        .select("image_id", "keeper_image_id")
+        # materialize before releasing the decoded-signature cache (the
+        # id joins reference it); ≤2·limit rows
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    return out
+
+
 def q_image_psnr(spark, sf):
     """The input_hint per-row invariant as a first-class query: PSNR of
     every image against its own real-JPEG (quality-99) recompression,
@@ -1338,6 +1483,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_page_url": q_page_url,
     "q_url_canon": q_url_canon,
     "q_sitemap_extract": q_sitemap_extract,
+    "q_surt_index": q_surt_index,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_html_strip": q_html_strip,
     "q_robots_gate": q_robots_gate,
     "q_safe_cast": q_safe_cast,
     "q_json_decode": q_json_decode,
@@ -1400,6 +1548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
     "q_image_phash_neardup": q_image_phash_neardup,
+    "q_image_phash_clusters": q_image_phash_clusters,
     "q_image_psnr": q_image_psnr,
     "q_pair_quality": q_pair_quality,
     "q_audio_features": q_audio_features,
@@ -2069,6 +2218,67 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
     "q_pagerank_hosts": _pagerank_sql(n_iter=5),
+    "q_surt_index": """
+        WITH u AS (
+          SELECT p_partkey AS url_id,
+                 'https://www.sub' || CAST(p_partkey % 5 AS VARCHAR)
+                 || '.example' || CAST(p_partkey % 3 AS VARCHAR)
+                 || '.com/item/' || CAST(p_partkey AS VARCHAR) AS url
+          FROM part),
+        hp AS (
+          SELECT url_id, url,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+          FROM u)
+        SELECT url_id, url,
+               array_to_string(list_reverse(string_split(host, '.')), ',')
+               || ')' || path AS surt
+        FROM hp
+    """,
+    "q_snapshot_diff": """
+        WITH old AS (
+          SELECT p_partkey AS url_id, md5(p_name) AS old_fp
+          FROM part WHERE p_partkey % 10 <> 0),
+        new AS (
+          SELECT p_partkey AS url_id,
+                 md5(CASE WHEN p_partkey % 3 = 0 THEN p_name || '!'
+                          ELSE p_name END) AS new_fp
+          FROM part WHERE p_partkey % 7 <> 0)
+        SELECT url_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp <> new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM old FULL OUTER JOIN new USING (url_id)
+        WHERE (CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp <> new_fp THEN 'changed'
+                    ELSE 'unchanged' END) <> 'unchanged'
+    """,
+    # Spark regexp_replace is global by default; DuckDB needs the 'g'
+    # flag — patterns themselves are backreference-free (RE2-safe)
+    "q_html_strip": r"""
+        WITH h AS (
+          SELECT p_partkey AS doc_id,
+                 '<html><head><script>var k=' || CAST(p_partkey AS VARCHAR)
+                 || ';</script></head><body><h1>' || p_name
+                 || '</h1><p class="c">' || p_type
+                 || ' &amp; co &lt;since ' || CAST(p_size AS VARCHAR)
+                 || '&gt;</p></body></html>' AS html
+          FROM part),
+        t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   replace(replace(replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '\s+', ' ', 'g')) AS text
+          FROM h)
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM t
+    """,
     "q_anchor_text": """
         WITH l AS (
           SELECT p_partkey % 500 AS target_id,

@@ -23,8 +23,8 @@ clustering, and documents the swap.
 
 Convergence detection is O(1) extra work: labels only ever DECREASE
 (min of mins), so the global sum of labels strictly decreases until
-the fixpoint — compare one aggregated long per iteration, no
-row-level old-vs-new join.
+the fixpoint — compare one aggregated decimal(38,0) per iteration
+(hashed int64 ids overflow a long sum), no row-level old-vs-new join.
 
 Component ids are deterministic (min node id in the component), so
 "keeper = component id" gives the same canonical document at any
@@ -70,8 +70,12 @@ def connected_components(
             f"connected_components needs integer node ids (got {node_type}); "
             "hash string keys to int64 first (e.g. text.md5_int60)"
         )
+    # convergence probe sums the labels — as decimal(38,0), not long:
+    # hashed node ids run to 2^60 and a few hundred of them overflow
+    # int64 under ANSI mode (decimal sums stay exact to ~10^19 nodes)
+    _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
     labels = nodes.select("node", F.col("node").alias("component")).persist()
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    prev_sum = labels.agg(_label_sum).first()[0]
     for _ in range(max_iter):
         cand = und.join(labels, und.u == labels.node, "inner").select(
             F.col("v").alias("node"), "component"
@@ -85,7 +89,7 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        new_sum = new_labels.agg(_label_sum).first()[0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:

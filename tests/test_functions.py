@@ -680,3 +680,31 @@ def test_pagerank_matches_python_reference(spark):
     assert got == rank
     assert got[0] > max(got[1], got[2], got[3])  # hub wins
     assert got[6] > got[5] > got[4] == 150_000  # chain accumulates; source is base
+
+
+def test_connected_components_huge_hashed_ids(spark):
+    """Regression: the convergence probe sums labels — with md5-int60
+    hashed ids (up to 2^60) a few hundred nodes overflow an int64 sum
+    under ANSI mode; the decimal(38,0) probe must not."""
+    from crawler_spark.functions.graph import connected_components
+
+    base = (1 << 60) - 1
+    edges = [(base - i, base - i - 1) for i in range(0, 40, 2)]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    for a, b in edges:
+        assert got[a] == got[b] == b
+
+
+def test_image_phash_clusters_cocluster_copies(spark, sf_dir):
+    """Each original image and its quality-99 JPEG recompression must
+    land in the same visual cluster (pigeonhole-exact banding at
+    hamming ≤ 3) — the e2e guarantee behind q_image_phash_clusters."""
+    from crawler_spark import contract as C
+
+    rows = C.q_image_phash_clusters(spark, sf_dir).collect()
+    keeper = {r["image_id"]: r["keeper_image_id"] for r in rows}
+    origs = [i for i in keeper if "~" not in i]
+    assert len(origs) >= 90
+    co = sum(1 for i in origs if keeper.get(i + "~jpg") == keeper[i])
+    assert co >= 0.9 * len(origs), f"{co}/{len(origs)} co-clustered"
