@@ -64,6 +64,8 @@ HEADLINE = [
     "q_surt_index",
     "q_snapshot_diff",
     "q_html_strip",
+    "q_distinct_urls",
+    "q_distinct_urls_approx",
     "q_extract_office",
     "q_schema_last",
     "q_json_envelope",

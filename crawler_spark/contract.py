@@ -665,6 +665,46 @@ def q_content_sniff(spark, sf):
     )
 
 
+def _host_urls(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") % 50).cast("long").alias("host_id"),
+        (F.col("l_orderkey") % 10000).cast("long").alias("url_hash"),
+    )
+
+
+def q_distinct_urls(spark, sf):
+    """Exact distinct-URL count per host — the crawl-coverage metric —
+    in the skew-safe two-level form: dedup on (host, url) first (a
+    map-side-combinable distinct), then count per host.  A single
+    countDistinct over a hot host centralizes its whole key set in one
+    task; the two-level plan spreads level 1 across the (host, url)
+    key space, so a host with 10^9 URLs still parallelizes.  The HLL
+    scale path is q_distinct_urls_approx."""
+    return (
+        _host_urls(spark, sf)
+        .distinct()
+        .groupBy("host_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+
+
+def q_distinct_urls_approx(spark, sf):
+    """HyperLogLog++ distinct-URL count per host (approx_count_distinct,
+    rsd=2%) — the 100 TB path: constant ~kB of sketch state per host
+    instead of the full key set, one pass, mergeable across partitions
+    and days.  Rows-only (sketch estimates are not reproducible in
+    DuckDB); relative error vs the exact twin is test-pinned ≤5%."""
+    return (
+        _host_urls(spark, sf)
+        .groupBy("host_id")
+        .agg(
+            F.approx_count_distinct("url_hash", rsd=0.02)
+            .cast("long")
+            .alias("n_urls_approx")
+        )
+    )
+
+
 def q_pacing_schedule(spark, sf):
     """Per-host dispatch pacing (operators/politeness.pacing_schedule):
     the k-th candidate of a host fires at max(arrival, previous dispatch
@@ -1508,6 +1548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_hosts": q_pagerank_hosts,
     "q_anchor_text": q_anchor_text,
     "q_content_sniff": q_content_sniff,
+    "q_distinct_urls": q_distinct_urls,
+    "q_distinct_urls_approx": q_distinct_urls_approx,
     "q_sessionize": q_sessionize,
     "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
@@ -2218,6 +2260,11 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
     "q_pagerank_hosts": _pagerank_sql(n_iter=5),
+    "q_distinct_urls": """
+        SELECT l_suppkey % 50 AS host_id,
+               CAST(COUNT(DISTINCT l_orderkey % 10000) AS BIGINT) AS n_urls
+        FROM lineitem GROUP BY 1
+    """,
     "q_surt_index": """
         WITH u AS (
           SELECT p_partkey AS url_id,

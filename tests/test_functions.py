@@ -708,3 +708,20 @@ def test_image_phash_clusters_cocluster_copies(spark, sf_dir):
     assert len(origs) >= 90
     co = sum(1 for i in origs if keeper.get(i + "~jpg") == keeper[i])
     assert co >= 0.9 * len(origs), f"{co}/{len(origs)} co-clustered"
+
+
+def test_approx_distinct_within_pinned_error(spark, sf_dir):
+    """q_distinct_urls_approx (HLL++, rsd=2%) must land within 5%
+    relative error of the exact two-level twin on every host."""
+    from crawler_spark import contract as C
+
+    exact = {
+        r["host_id"]: r["n_urls"] for r in C.q_distinct_urls(spark, sf_dir).collect()
+    }
+    approx = {
+        r["host_id"]: r["n_urls_approx"]
+        for r in C.q_distinct_urls_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    worst = max(abs(approx[h] - exact[h]) / exact[h] for h in exact)
+    assert worst <= 0.05, f"worst relative error {worst:.3f}"
