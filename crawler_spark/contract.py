@@ -239,7 +239,10 @@ def q_html_strip(spark, sf):
     entities, collapse whitespace.  Three regexp_replace passes of
     whole-stage codegen, no parser dependency, no Python; the oracle
     replays the identical automaton-compatible patterns (no
-    backreferences, RE2-safe)."""
+    backreferences, RE2-safe).  Script bodies may contain '<'
+    (lazy ``[\\s\\S]*?`` match, not ``[^<]*``), and ``&amp;`` decodes
+    LAST so nested entities like ``&amp;lt;`` yield the literal
+    ``&lt;`` instead of double-decoding."""
     part = _t(spark, sf, "part")
     html = F.concat(
         F.lit("<html><head><script>var k="),
@@ -252,16 +255,7 @@ def q_html_strip(spark, sf):
         F.col("p_size").cast("string"),
         F.lit("&gt;</p></body></html>"),
     )
-    no_script = F.regexp_replace(html, r"<script[^>]*>[^<]*</script>", " ")
-    no_tags = F.regexp_replace(no_script, r"<[^>]*>", " ")
-    decoded = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
-        ),
-        "&gt;",
-        ">",
-    )
-    text = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    text = TX.html_visible_text(html)
     return part.select(
         F.col("p_partkey").alias("doc_id"),
         text.alias("text"),
@@ -1237,6 +1231,19 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def _dup_cc(spark, sf):
+    """Shared by q_dup_clusters / q_neardup_dedup (mirrors the oracle
+    side's _DUP_CC_CTE): exact n-gram-Jaccard pairs at threshold 0.4 —
+    the constant the oracle CTE hard-codes — resolved to components."""
+    from .functions.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
+    return connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+
+
 def q_dup_clusters(spark, sf):
     """Pairs → clusters: connected components over the exact n-gram-
     Jaccard near-dup graph (functions.graph.connected_components,
@@ -1244,14 +1251,7 @@ def q_dup_clusters(spark, sf):
     a cluster_id = min doc_id of its component (singletons label
     themselves) — the deterministic keeper for dedup at any
     parallelism."""
-    from .functions.graph import connected_components
-
-    docs = _t(spark, sf, "documents")
-    pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
-    cc = connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
-    )
-    return cc.select(
+    return _dup_cc(spark, sf).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
@@ -1265,14 +1265,7 @@ def q_neardup_dedup(spark, sf):
     Swap the pair stage for minhash_neardup_pairs at 10^10 docs (the
     downstream composition is identical); the keeper aggregation adds
     one map-side-combinable count over the component labels."""
-    from .functions.graph import connected_components
-
-    docs = _t(spark, sf, "documents")
-    pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
-    cc = connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
-    )
-    return cc.groupBy(F.col("component").alias("doc_id")).agg(
+    return _dup_cc(spark, sf).groupBy(F.col("component").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
 
@@ -1359,6 +1352,22 @@ def q_image_decode_meta(spark, sf):
     return decode_meta(imgs).select("image_id", "dec_w", "dec_h", "dec_phash", "decode_ok")
 
 
+def _image_sigs(spark, sf, limit: int = 100):
+    """Shared by q_image_phash_neardup / q_image_phash_clusters: phash
+    signatures of ``limit`` synthetic originals UNION their quality-99
+    JPEG recompressions (decode failures dropped).  One derivation so
+    the pairs query and the clusters query built on it can never
+    desynchronize on limit / transcode quality / decode filter."""
+    docs = _t(spark, sf, "documents").limit(limit)
+    orig = attach_synthetic_images(docs, "doc_id")
+    copies = transcode(orig, "jpg")
+    return (
+        decode_meta(orig.unionByName(copies))
+        .filter(F.col("decode_ok"))
+        .select("image_id", F.col("dec_phash").alias("simhash"))
+    )
+
+
 def q_image_phash_neardup(spark, sf):
     """Image near-dup detection: original images vs their lossy-JPEG
     recompressed copies, caught by perceptual-hash Hamming banding —
@@ -1370,16 +1379,8 @@ def q_image_phash_neardup(spark, sf):
     skew guard and accept losing pairs of degenerate (solid-color)
     images instead.  Rows-only: binary codecs are not
     DuckDB-expressible."""
-    docs = _t(spark, sf, "documents").limit(100)
-    orig = attach_synthetic_images(docs, "doc_id")
-    copies = transcode(orig, "jpg")
-    sigs = (
-        decode_meta(orig.unionByName(copies))
-        .filter(F.col("decode_ok"))
-        .select("image_id", F.col("dec_phash").alias("simhash"))
-    )
     return ND.simhash_neardup_pairs(
-        sigs, max_hamming=3, id_col="image_id", max_bucket=None
+        _image_sigs(spark, sf), max_hamming=3, id_col="image_id", max_bucket=None
     )
 
 
@@ -1396,15 +1397,7 @@ def q_image_phash_clusters(spark, sf):
     test-pinned."""
     from .functions.graph import connected_components
 
-    docs = _t(spark, sf, "documents").limit(100)
-    orig = attach_synthetic_images(docs, "doc_id")
-    copies = transcode(orig, "jpg")
-    sigs = (
-        decode_meta(orig.unionByName(copies))
-        .filter(F.col("decode_ok"))
-        .select("image_id", F.col("dec_phash").alias("simhash"))
-        .persist()
-    )
+    sigs = _image_sigs(spark, sf).persist()
     ids = sigs.select("image_id", TX.md5_int60(F.col("image_id")).alias("node"))
     pairs = ND.simhash_neardup_pairs(
         sigs, max_hamming=3, id_col="image_id", max_bucket=None
@@ -2319,9 +2312,9 @@ ORACLES: dict[str, str] = {
                    replace(replace(replace(
                      regexp_replace(
                        regexp_replace(html,
-                         '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                         '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
                        '<[^>]*>', ' ', 'g'),
-                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                     '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
                    '\s+', ' ', 'g')) AS text
           FROM h)
         SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM t

@@ -139,7 +139,13 @@ def pagerank(
     ``localCheckpoint`` at the end: one Spark job total, and the
     persisted inputs are released immediately after it.
     """
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
+    # e feeds nodes (twice) and ew (twice, via the deg self-join) —
+    # persist it or the distinct shuffle replays up to 3x at setup
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
@@ -172,6 +178,7 @@ def pagerank(
             .alias("rank_micros"),
         )
     ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     ew.unpersist()
     nodes.unpersist()
     return ranks

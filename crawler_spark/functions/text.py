@@ -161,6 +161,26 @@ def md5_int60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def html_visible_text(col: Column | str) -> Column:
+    """Visible text from an HTML string: drop <script> blocks including
+    bodies (lazy ``[\\s\\S]*?`` — script code may contain '<'), strip
+    remaining tags, decode the common entities with ``&amp;`` LAST
+    (``&amp;lt;`` must yield the literal ``&lt;``, not '<'), collapse
+    whitespace.  Pure whole-stage-codegen regexp_replace chain,
+    patterns RE2-compatible so a DuckDB oracle can replay them
+    (contract.q_html_strip)."""
+    no_script = F.regexp_replace(col, r"<script[^>]*>[\s\S]*?</script>", " ")
+    no_tags = F.regexp_replace(no_script, r"<[^>]*>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&lt;", "<"), "&gt;", ">"
+        ),
+        "&amp;",
+        "&",
+    )
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
 def rolling_fingerprint(col: Column | str, n: int = 8, portable: bool = False) -> Column:
     """Winnowing-style document fingerprint: min hash over character
     n-gram windows of the canonical text.  Default hash is xxhash64

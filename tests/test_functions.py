@@ -725,3 +725,20 @@ def test_approx_distinct_within_pinned_error(spark, sf_dir):
     assert exact.keys() == approx.keys()
     worst = max(abs(approx[h] - exact[h]) / exact[h] for h in exact)
     assert worst <= 0.05, f"worst relative error {worst:.3f}"
+
+
+def test_html_visible_text_adversarial(spark):
+    """Script bodies containing '<' are fully dropped, and nested
+    entities do not double-decode (&amp;lt; -> literal '&lt;')."""
+    from crawler_spark.functions.text import html_visible_text
+
+    cases = [
+        ("<script>if(a<b){x();}</script><p>keep</p>", "keep"),
+        ("<p>a &amp;lt; b</p>", "a &lt; b"),
+        ("<p>x &lt;tag&gt; &amp; y</p>", "x <tag> & y"),
+        ("<script src='x'>var a = 1 < 2;</script>ok<br/>done", "ok done"),
+    ]
+    df = spark.createDataFrame(cases, "html: string, want: string")
+    rows = df.select("want", html_visible_text("html").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
