@@ -59,6 +59,7 @@ HEADLINE = [
     "q_robots_gate",
     "q_crawl_delay_schedule",
     "q_pagerank_hosts",
+    "q_authority_order",
     "q_anchor_text",
     "q_content_sniff",
     "q_surt_index",

@@ -574,6 +574,13 @@ def q_pagerank_hosts(spark, sf):
     one aggregation per iteration, rank table only in motion.  The
     DuckDB oracle unrolls the identical recurrence as chained CTEs —
     a genuinely independent evaluation order agreeing bit-for-bit."""
+    return _host_pagerank(spark, sf)
+
+
+def _host_pagerank(spark, sf):
+    """Shared by q_pagerank_hosts / q_authority_order (mirrors the
+    oracle side's _pagerank_ctes fixture): the orders-derived host link
+    graph through functions/graph.pagerank."""
     from .functions.graph import pagerank
 
     edges = (
@@ -587,6 +594,34 @@ def q_pagerank_hosts(spark, sf):
     return pagerank(edges, n_iter=5).select(
         F.col("node").alias("host_id"), "rank_micros"
     )
+
+
+def q_authority_order(spark, sf):
+    """Authority-first global crawl order — PageRank WIRED INTO frontier
+    sequencing, not just computed: every frontier URL is joined to its
+    host's authority score (broadcast — the rank table is hosts-sized)
+    and the whole frontier gets one deterministic dispatch sequence via
+    the scalable global_sequence operator ordered by (authority desc,
+    host, url).  This is the standard upgrade over the reference's
+    insertion-order dispatch: high-authority hosts drain first under
+    the same politeness budgets.  Hosts absent from the link graph
+    coalesce to the damping base (150000 micros, same as an
+    all-dangling node).  The oracle replays the PageRank CTE chain plus
+    a ROW_NUMBER over the identical total order."""
+    import pyarrow.parquet as pq
+
+    pr = _host_pagerank(spark, sf)
+    frontier = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 1000).cast("long").alias("host_id"),
+        F.col("o_orderkey").alias("url_id"),
+    )
+    j = frontier.join(F.broadcast(pr), "host_id", "left").withColumn(
+        "neg_rank", -F.coalesce("rank_micros", F.lit(150_000))
+    )
+    n = pq.read_metadata(f"{sf}/orders.parquet").num_rows
+    return global_sequence(
+        j, ["neg_rank", "host_id", "url_id"], small=n < SMALL_SEQ_MAX_ROWS
+    ).select("host_id", "url_id", "seq")
 
 
 def q_anchor_text(spark, sf):
@@ -1539,6 +1574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pacing_schedule": q_pacing_schedule,
     "q_redirect_resolve": q_redirect_resolve,
     "q_pagerank_hosts": q_pagerank_hosts,
+    "q_authority_order": q_authority_order,
     "q_anchor_text": q_anchor_text,
     "q_content_sniff": q_content_sniff,
     "q_distinct_urls": q_distinct_urls,
@@ -1639,10 +1675,11 @@ _DUP_CC_CTE = f"""WITH RECURSIVE
           SELECT r.n, u.v FROM reach r JOIN und u ON u.u = r.m)"""
 
 
-def _pagerank_sql(n_iter: int, damping_pct: int = 85) -> str:
-    """DuckDB mirror of functions/graph.pagerank: the same integer
-    recurrence unrolled as one chained CTE per iteration (fixture =
-    q_pagerank_hosts' orders-derived host graph)."""
+def _pagerank_ctes(n_iter: int, damping_pct: int = 85) -> str:
+    """DuckDB mirror of functions/graph.pagerank as a CTE chain (no
+    WITH, no final select — composable): the same integer recurrence
+    unrolled one CTE per iteration over q_pagerank_hosts'
+    orders-derived host graph; ranks land in ``r{n_iter}``."""
     base = (100 - damping_pct) * 10_000
     ctes = [
         """e AS (
@@ -1662,9 +1699,13 @@ def _pagerank_sql(n_iter: int, damping_pct: int = 85) -> str:
             FROM e JOIN r{i - 1} r ON r.node = e.src
                    JOIN deg d ON d.src = e.src
             GROUP BY e.dst) c ON c.node = n.node)""")
+    return ",\n        ".join(ctes)
+
+
+def _pagerank_sql(n_iter: int) -> str:
     return (
         "WITH "
-        + ",\n        ".join(ctes)
+        + _pagerank_ctes(n_iter)
         + f"\n        SELECT node AS host_id, rank_micros FROM r{n_iter}"
     )
 _MH_BAND_EQ = " OR ".join(
@@ -2253,6 +2294,18 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
     "q_pagerank_hosts": _pagerank_sql(n_iter=5),
+    "q_authority_order": f"""
+        WITH {_pagerank_ctes(5)},
+        pr AS (SELECT node AS host_id, rank_micros FROM r5),
+        f AS (SELECT o_custkey % 1000 AS host_id, o_orderkey AS url_id
+              FROM orders)
+        SELECT f.host_id, f.url_id,
+               CAST(row_number() OVER (
+                   ORDER BY -COALESCE(pr.rank_micros, 150000),
+                            f.host_id, f.url_id
+               ) AS BIGINT) AS seq
+        FROM f LEFT JOIN pr USING (host_id)
+    """,
     "q_distinct_urls": """
         SELECT l_suppkey % 50 AS host_id,
                CAST(COUNT(DISTINCT l_orderkey % 10000) AS BIGINT) AS n_urls

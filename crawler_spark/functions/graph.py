@@ -111,6 +111,7 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 5,
     damping_pct: int = 85,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """(node, rank_micros) after ``n_iter`` synchronous PageRank
     iterations — host-authority scoring for frontier prioritization
@@ -128,11 +129,14 @@ def pagerank(
     mass is dropped (the "pruned" PageRank variant) — documented, not a
     bug; total mass is not conserved but relative authority is.
 
-    One edges⋈ranks shuffle + one sum aggregation per iteration.  The
-    edge table (joined to its out-degrees once) is persisted and only
-    the small rank table moves per round; at 10^10 edges pre-partition
-    the persisted edge frame by ``src`` so iterations reuse its
-    exchange.  Unlike connected_components there is NO per-iteration
+    Join strategy by graph size: with ≤ ``broadcast_max_nodes`` nodes
+    the per-iteration edges⋈ranks join BROADCASTS the rank table, so
+    the persisted edge set never re-shuffles and each iteration costs
+    one exchange (the contribution sum's node-sized partials).  Above
+    the threshold (rank table too big for executor memory) it falls
+    back to the shuffled hash join — there, pre-partition the persisted
+    edge frame by ``src`` so iterations reuse its exchange and only the
+    rank table moves.  Unlike connected_components there is NO per-iteration
     action (fixed iteration count, no convergence probe), so the whole
     recurrence is ONE lazy plan — linear in n_iter, each cached input
     referenced by name — materialized by a single eager
@@ -155,12 +159,15 @@ def pagerank(
     deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = e.join(deg, "e_src").persist()
     base = (100 - damping_pct) * 10_000
+    # one tiny job; also materializes the nodes cache before the loop
+    small_ranks = nodes.count() <= broadcast_max_nodes
     ranks = nodes.select(
         "node", F.lit(1_000_000).cast("long").alias("rank_micros")
     )
     for _ in range(n_iter):
+        r = F.broadcast(ranks) if small_ranks else ranks
         contrib = (
-            ew.join(ranks, ew.e_src == ranks.node, "inner")
+            ew.join(r, ew.e_src == ranks.node, "inner")
             .select(
                 F.col("e_dst").alias("node"),
                 F.expr("rank_micros DIV outdeg").alias("c"),
@@ -168,6 +175,8 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        if small_ranks:  # contrib is node-sized: cached nodes never shuffle
+            contrib = F.broadcast(contrib)
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
