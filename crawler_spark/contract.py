@@ -1540,6 +1540,124 @@ def q_frame_sample(spark, sf):
 
 
 # =====================================================================
+# Training-data ops: corpus curation (span dedup, boilerplate, PII,
+# source-quality propagation) + crawl hygiene (traps, recrawl)
+# =====================================================================
+def q_chunk_dedup(spark, sf):
+    """C4-style span-level duplicate removal: every 3-token chunk kept
+    only at its first global occurrence, docs re-assembled from the
+    surviving spans (functions/curation.chunk_dedup; keeper choice is
+    a combinable min(struct), shuffle keys are md5 — never the span
+    text on the wide side)."""
+    from .functions import curation as CU
+
+    return CU.chunk_dedup(_t(spark, sf, "documents"), n=3)
+
+
+def q_boilerplate(spark, sf):
+    """Per-host boilerplate-line inventory over synthesized pages
+    (orders → 40 hosts, 5 lines/page: one global nav line, two
+    host-level header/footer lines, two unique body lines).  A line on
+    ≥80% of a host's pages is boilerplate — exact-integer threshold,
+    per-page duplicates counted once (curation.boilerplate_lines)."""
+    from .functions import curation as CU
+
+    o = _t(spark, sf, "orders")
+    host = F.concat(F.lit("h"), F.pmod("o_custkey", F.lit(40)).cast("string"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    text = F.concat_ws(
+        "\n",
+        F.lit("menu home products contact"),
+        F.concat(F.lit("welcome to "), host),
+        F.concat(
+            F.lit("item "),
+            F.col("o_orderkey").cast("string"),
+            F.lit(" "),
+            F.col("o_orderpriority"),
+        ),
+        F.concat(F.lit("total "), cents.cast("string")),
+        F.concat(F.lit("copyright "), host),
+    )
+    pages = o.select(
+        host.alias("host"), F.col("o_orderkey").alias("page_id"), text.alias("text")
+    )
+    return CU.boilerplate_lines(pages)
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction (emails + phone numbers) with per-doc removal
+    counts over synthesized contact pages (part → every row carries an
+    email, every third row a phone).  RE2-safe patterns shared verbatim
+    with the oracle (curation.EMAIL_RE / PHONE_RE); one narrow
+    projection, zero shuffles."""
+    from .functions import curation as CU
+
+    p = _t(spark, sf, "part")
+    phone = F.concat(
+        F.lit("tel +"),
+        (F.pmod("p_partkey", F.lit(90)) + 1).cast("string"),
+        F.lit("-"),
+        F.lpad(F.pmod("p_partkey", F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod("p_partkey", F.lit(10000)).cast("string"), 4, "0"),
+    )
+    text = F.concat(
+        F.col("p_name"),
+        F.lit(" contact user"),
+        F.col("p_partkey").cast("string"),
+        F.lit("@mail"),
+        F.pmod("p_partkey", F.lit(7)).cast("string"),
+        F.lit(".com "),
+        F.when(F.pmod("p_partkey", F.lit(3)) == 0, phone).otherwise(F.lit("no phone")),
+    )
+    return CU.pii_scrub(p.select(F.col("p_partkey").alias("doc_id"), text.alias("text")))
+
+
+def q_source_quality(spark, sf):
+    """Source-level quality propagation: exact integer per-source mean
+    of the shared quality kernel, broadcast back, keep docs ≥ half
+    their source's mean (curation.source_quality — the domain-prior
+    step of quality-classified corpora)."""
+    from .functions import curation as CU
+
+    return CU.source_quality(_t(spark, sf, "documents"))
+
+
+def q_trap_detect(spark, sf):
+    """Crawler-trap verdict per host over synthesized URL shapes
+    (orders → 40 hosts; hosts h0-h9 emit segment-loop paths).  Signals:
+    loop share ≥30% (exact integer), depth ≥12, path-space stats — one
+    narrow projection + one combiner-backed groupBy
+    (operators/traps.py)."""
+    from .operators.traps import trap_verdict, url_shape
+
+    o = _t(spark, sf, "orders")
+    host_i = F.pmod("o_custkey", F.lit(40))
+    reps = F.when(host_i < 10, F.pmod("o_orderkey", F.lit(4)) + 1).otherwise(F.lit(1))
+    seg = F.concat(F.lit("s"), F.pmod("o_orderkey", F.lit(5)).cast("string"))
+    path = F.concat(
+        F.lit("/"), F.array_join(F.array_repeat(seg, reps.cast("int")), "/")
+    )
+    urls = o.select(
+        F.concat(F.lit("h"), host_i.cast("string")).alias("host"), path.alias("path")
+    )
+    return trap_verdict(url_shape(urls))
+
+
+def q_recrawl_schedule(spark, sf):
+    """Adaptive recrawl scheduling from the events fetch history: a
+    change = value differing from the previous fetch (one per-URL lag
+    window), interval = span/changes clamped to [1h, 7d], all exact
+    integer milliseconds (operators/recrawl.py)."""
+    from .operators.recrawl import recrawl_schedule
+
+    e = _t(spark, sf, "events")
+    return recrawl_schedule(
+        e.select(F.col("user_id").alias("url_id"), "ts", "value", "event_id")
+    )
+
+
+# =====================================================================
 # registry + oracles
 # =====================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1592,6 +1710,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lag_delta": q_lag_delta,
     "q_histogram": q_histogram,
     "q_corpus_filter": q_corpus_filter,
+    "q_chunk_dedup": q_chunk_dedup,
+    "q_boilerplate": q_boilerplate,
+    "q_pii_scrub": q_pii_scrub,
+    "q_source_quality": q_source_quality,
+    "q_trap_detect": q_trap_detect,
+    "q_recrawl_schedule": q_recrawl_schedule,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2108,6 +2232,158 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_tokens, quality_bp, pred_lang, reason,
                reason = 'kept' AS kept
         FROM r
+    """,
+    # span dedup: DuckDB keeps first occurrence via a window (oracle
+    # need not scale); Spark uses the combinable min(struct) keeper —
+    # same first-(doc_id,pos) semantics
+    "q_chunk_dedup": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        u AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS chunk
+          FROM d, unnest(generate_series(0,
+                   CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS g(i)),
+        k AS (
+          SELECT doc_id, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, pos) = 1 AS is_kept
+          FROM u)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_removed,
+               coalesce(array_to_string(list(chunk ORDER BY pos)
+                        FILTER (WHERE is_kept), ' '), '') AS text_clean
+        FROM k GROUP BY doc_id
+    """,
+    "q_boilerplate": """
+        WITH p AS (
+          SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+                 o_orderkey AS page_id,
+                 'menu home products contact' || chr(10) ||
+                 'welcome to h' || CAST(o_custkey % 40 AS VARCHAR) || chr(10) ||
+                 'item ' || CAST(o_orderkey AS VARCHAR) || ' '
+                         || o_orderpriority || chr(10) ||
+                 'total ' || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS VARCHAR) || chr(10) ||
+                 'copyright h' || CAST(o_custkey % 40 AS VARCHAR) AS text
+          FROM orders),
+        l AS (
+          SELECT DISTINCT host, page_id, line FROM
+            (SELECT host, page_id, unnest(string_split(text, chr(10))) AS line
+             FROM p)
+          WHERE trim(line) <> ''),
+        df AS (SELECT host, line, count(*) AS df FROM l GROUP BY 1, 2),
+        np AS (SELECT host, count(DISTINCT page_id) AS n_pages FROM p GROUP BY 1)
+        SELECT df.host, df.line, CAST(df.df AS BIGINT) AS df,
+               CAST(np.n_pages AS BIGINT) AS n_pages
+        FROM df JOIN np ON df.host = np.host
+        WHERE df.df * 5 >= np.n_pages * 4
+    """,
+    "q_pii_scrub": r"""
+        WITH d AS (
+          SELECT p_partkey AS doc_id,
+                 p_name || ' contact user' || CAST(p_partkey AS VARCHAR)
+                 || '@mail' || CAST(p_partkey % 7 AS VARCHAR) || '.com '
+                 || CASE WHEN p_partkey % 3 = 0 THEN
+                      'tel +' || CAST(p_partkey % 90 + 1 AS VARCHAR) || '-'
+                      || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') || '-'
+                      || lpad(CAST(p_partkey % 10000 AS VARCHAR), 4, '0')
+                    ELSE 'no phone' END AS text
+          FROM part)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM d
+    """,
+    "q_source_quality": r"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 cast(len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS n_stopwords,
+                 cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      AS BIGINT) AS n_punct,
+                 greatest(cast(length(text) AS DOUBLE), 1.0) AS chars
+          FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 cast(floor(5000 * least(n_tokens, 128) / 128) AS BIGINT)
+               + least(cast(floor(24000 * n_stopwords / greatest(n_tokens, 1))
+                            AS BIGINT), 3000)
+               + 2000 - least(cast(floor(40000 * n_punct / chars) AS BIGINT),
+                              2000) AS quality_bp
+          FROM s),
+        m AS (
+          SELECT source,
+                 CAST(sum(quality_bp) // count(*) AS BIGINT) AS src_mean_bp
+          FROM q GROUP BY source)
+        SELECT q.doc_id, q.source, q.quality_bp, m.src_mean_bp,
+               q.quality_bp * 2 >= m.src_mean_bp AS kept
+        FROM q JOIN m ON q.source = m.source
+    """,
+    "q_trap_detect": """
+        WITH u AS (
+          SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+                 '/' || array_to_string(list_transform(
+                   generate_series(1, CASE WHEN o_custkey % 40 < 10
+                                      THEN CAST(o_orderkey % 4 + 1 AS BIGINT)
+                                      ELSE 1 END),
+                   x -> 's' || CAST(o_orderkey % 5 AS VARCHAR)), '/') AS path
+          FROM orders),
+        s AS (
+          SELECT host, path,
+                 len(list_filter(string_split(path, '/'), x -> x <> ''))
+                   AS depth,
+                 len(list_filter(string_split(path, '/'), x -> x <> ''))
+               - len(list_distinct(list_filter(string_split(path, '/'),
+                                               x -> x <> ''))) >= 2 AS is_loop
+          FROM u)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN is_loop THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_loop,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+               (sum(CASE WHEN is_loop THEN 1 ELSE 0 END) * 10
+                  >= count(*) * 3)
+                 OR max(depth) >= 12 AS is_trap
+        FROM s GROUP BY host
+    """,
+    "q_recrawl_schedule": """
+        WITH h AS (
+          SELECT user_id AS url_id, epoch_ms(ts) AS ms, value AS v,
+                 lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_v
+          FROM events),
+        a AS (
+          SELECT url_id, count(*) AS n_fetches,
+                 sum(CASE WHEN prev_v IS NOT NULL AND v <> prev_v
+                     THEN 1 ELSE 0 END) AS n_changes,
+                 max(ms) - min(ms) AS span_ms, max(ms) AS last_ms
+          FROM h GROUP BY url_id),
+        i AS (
+          SELECT url_id, n_fetches, n_changes, span_ms, last_ms,
+                 least(greatest(span_ms // greatest(n_changes, 1), 3600000),
+                       604800000) AS interval_ms
+          FROM a)
+        SELECT url_id, CAST(n_fetches AS BIGINT) AS n_fetches,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(span_ms AS BIGINT) AS span_ms,
+               CAST(interval_ms AS BIGINT) AS interval_ms,
+               CAST(last_ms + interval_ms AS BIGINT) AS next_fetch_ms
+        FROM i
     """,
     "q_crawl_round": """
         WITH ranked AS (

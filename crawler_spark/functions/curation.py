@@ -1,0 +1,176 @@
+"""Corpus-curation operators for training-data pipelines: span-level
+(C4-style) duplicate removal, per-host boilerplate detection, PII
+scrubbing, and source-level quality propagation.
+
+All four are pure DataFrame compositions over the shared text kernels
+(functions/text.py) — whole-stage-codegen expressions plus
+combiner-backed aggregations, no Python in the loop — so they survive
+a 100 TB corpus scan:
+
+* ``chunk_dedup`` shuffles ONLY (md5 key, doc_id, pos) triples — never
+  the chunk text on the wide side — and its keeper choice is a
+  map-side-combinable ``min(struct)`` rather than a window, so one
+  mega-duplicated span (the classic null/empty chunk) is a single
+  reduce key with a tiny record, not a skewed window partition.
+* ``boilerplate_lines`` aggregates (host, line) doc frequencies with
+  partial aggregation and broadcasts the per-host page counts (one row
+  per host) back onto the frequency table.
+* ``pii_scrub`` is a single narrow projection (regexp_extract_all +
+  regexp_replace), zero shuffles.
+* ``source_quality`` computes per-source means with a combiner-backed
+  aggregate and broadcasts them (one row per source) back to the docs.
+
+Grounding: the reference's pipeline stores raw extractions with no
+corpus hygiene (otodom/orchestrator/handler.go:63-101 fetch→store);
+these are the curation stages the graft brief mandates on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as TX
+
+# RE2-safe (no backreferences / lookaround) so the DuckDB oracle can run
+# the byte-identical pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def token_chunks(col: Column | str, n: int) -> Column:
+    """Non-overlapping ``n``-token spans of the canonical token array —
+    the dedup unit for span-level duplicate removal (the C4 paper
+    removes repeated three-sentence spans; fixtures have no sentence
+    punctuation, so the span is token-windowed instead).  Built on the
+    ONE shared tokenization (``text.token_array``) so span keys can
+    never desynchronize from the other text operators."""
+    toks = TX.token_array(col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
+    )
+
+
+def chunk_dedup(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus-wide span dedup: every ``n``-token chunk is kept only at
+    its FIRST occurrence (global (doc_id, pos) order); later copies are
+    dropped and each doc is re-assembled from its surviving spans.
+
+    Returns (doc_id, n_chunks, n_removed, text_clean).
+
+    Scale shape: one explode (narrow), one groupBy over md5(chunk)
+    with a combinable min(struct(doc_id, pos)) keeper, one equi-join
+    back on the 16-byte key, one per-doc aggregate.  The re-assembly
+    sorts each doc's spans inside ``array_sort`` (per-row, no global
+    sort), so order is deterministic without a window.
+    """
+    units = docs.select(
+        "doc_id", F.posexplode(token_chunks("text", n)).alias("pos", "chunk")
+    ).withColumn("ck", F.md5("chunk"))
+    keepers = units.groupBy("ck").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep_at")
+    )
+    flagged = units.join(keepers, "ck").withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("keep_at.doc_id"))
+        & (F.col("pos") == F.col("keep_at.pos")),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((~F.col("is_kept")).cast("long")).alias("n_removed"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("is_kept"), F.struct("pos", "chunk")))
+        ).alias("kept"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.array_join(F.transform("kept", lambda s: s["chunk"]), " ").alias(
+            "text_clean"
+        ),
+    )
+
+
+def boilerplate_lines(
+    pages: DataFrame,
+    host_col: str = "host",
+    page_col: str = "page_id",
+    text_col: str = "text",
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Per-host boilerplate inventory: a line (``\\n``-split unit of
+    ``text_col``) occurring on at least ``num/den`` of the host's pages
+    (default 80%) is boilerplate — the nav/header/footer text a
+    training corpus must strip before dedup or quality scoring.
+
+    Returns (host, line, df, n_pages) for boilerplate lines only.
+
+    Threshold arithmetic is exact-integer (``df*den >= n_pages*num``)
+    so the cut is bit-identical across engines.  Per-page duplicate
+    lines count once (distinct per page) so a page repeating its own
+    nav bar cannot promote it alone.
+    """
+    lines = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(page_col).alias("page_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .filter(F.trim("line") != "")
+        .distinct()
+    )
+    df_counts = lines.groupBy("host", "line").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    page_counts = pages.select(
+        F.col(host_col).alias("host"), F.col(page_col).alias("page_id")
+    ).groupBy("host").agg(F.countDistinct("page_id").alias("n_pages"))
+    return (
+        df_counts.join(F.broadcast(page_counts), "host")
+        .filter(F.col("df") * den >= F.col("n_pages") * num)
+        .select("host", "line", "df", "n_pages")
+    )
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails/phones (RE2-safe patterns shared with the oracle)
+    and count what was removed — the PII pass every published web
+    corpus runs before release.  One narrow projection, no shuffle."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+
+
+def source_quality(docs: DataFrame) -> DataFrame:
+    """Source-level quality propagation: score every doc (integer basis
+    points, the shared ``text.quality_score`` kernel), aggregate the
+    exact per-source mean (floor of sum/count — no double rounding),
+    broadcast it back, and keep docs scoring at least half their
+    source's mean.  This is the domain/source prior step (docs from a
+    consistently low-quality source need a higher bar) used by
+    quality-classified corpora.
+
+    Returns (doc_id, source, quality_bp, src_mean_bp, kept)."""
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality_bp")
+    )
+    means = scored.groupBy("source").agg(
+        F.floor(F.sum("quality_bp") / F.count(F.lit(1))).cast("long").alias("src_mean_bp")
+    )
+    return scored.join(F.broadcast(means), "source").select(
+        "doc_id",
+        "source",
+        "quality_bp",
+        "src_mean_bp",
+        (F.col("quality_bp") * 2 >= F.col("src_mean_bp")).alias("kept"),
+    )

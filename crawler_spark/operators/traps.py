@@ -1,0 +1,60 @@
+"""Crawler-trap detection: per-host URL-shape statistics that flag
+hosts generating unbounded synthetic URL spaces (segment loops,
+calendar/path explosions) so the frontier can demote or cap them.
+
+The reference crawls a single curated site and never needs this
+(otodom/total_pages/handler.go:53-65 walks a bounded page range); at
+10^10-frontier scale trap hosts are the dominant waste, so the graft
+adds the standard signals:
+
+* **segment loops** — a path repeating one segment ≥3 times
+  (``/a/b/a/b/a``-style recursion traps),
+* **path-space collapse** — many URLs over few distinct paths
+  (session-id / calendar params),
+* **depth explosion** — max path depth.
+
+Scale shape: one narrow per-URL projection (split + array stats, all
+codegen), then ONE combiner-backed groupBy(host).  No windows, no
+joins; output is O(hosts), so the verdict table itself broadcasts back
+onto the frontier for gating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def url_shape(urls: DataFrame, host_col: str = "host", path_col: str = "path") -> DataFrame:
+    """Per-URL shape row: (host, path, depth, is_loop).
+
+    ``depth`` = number of non-empty path segments; ``is_loop`` = some
+    segment occurs ≥3 times (size vs distinct-size over the segment
+    array — per-row, no shuffle).
+    """
+    segs = F.filter(F.split(F.col(path_col), "/"), lambda s: s != "")
+    return urls.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.size(segs).cast("long").alias("depth"),
+        (F.size(segs) - F.size(F.array_distinct(segs)) >= F.lit(2)).alias("is_loop"),
+    )
+
+
+def trap_verdict(shapes: DataFrame) -> DataFrame:
+    """Per-host trap verdict over ``url_shape`` rows.
+
+    Returns (host, n_urls, n_loop, max_depth, n_paths, is_trap) where
+    ``is_trap`` = loop share ≥30% (exact integer ``10*n_loop >=
+    3*n_urls``) OR depth ≥ 12.
+    """
+    agg = shapes.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("is_loop").cast("long")).alias("n_loop"),
+        F.max("depth").alias("max_depth"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+    return agg.withColumn(
+        "is_trap",
+        (F.col("n_loop") * 10 >= F.col("n_urls") * 3) | (F.col("max_depth") >= 12),
+    )

@@ -1,0 +1,149 @@
+"""Semantic unit tests for the corpus-curation and crawl-hygiene
+operators (functions/curation.py, operators/traps.py,
+operators/recrawl.py) on planted inputs — the contract/oracle
+equivalence over the fixture tables runs in test_contract.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from crawler_spark.functions import curation as CU
+from crawler_spark.operators.recrawl import (
+    MAX_INTERVAL_MS,
+    MIN_INTERVAL_MS,
+    recrawl_schedule,
+)
+from crawler_spark.operators.traps import trap_verdict, url_shape
+
+
+def test_chunk_dedup_removes_later_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # chunks: "a b c", "d e f"
+            (2, "a b c x y z"),  # "a b c" is a copy; "x y z" fresh
+            (3, "d e f"),  # whole doc is a copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.chunk_dedup(docs, n=3).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == "a b c d e f"
+    assert out[2]["n_removed"] == 1 and out[2]["text_clean"] == "x y z"
+    assert out[3]["n_removed"] == 1 and out[3]["text_clean"] == ""
+    assert out[3]["n_chunks"] == 1
+
+
+def test_chunk_dedup_keeper_is_first_global_occurrence(spark):
+    # same chunk in both docs: the lower (doc_id, pos) wins
+    docs = spark.createDataFrame(
+        [(10, "q q q"), (2, "q q q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in CU.chunk_dedup(docs, n=3).collect()}
+    assert out[2]["n_removed"] == 0
+    assert out[10]["n_removed"] == 1
+
+
+def test_boilerplate_threshold_is_exact_integer(spark):
+    # host with 5 pages: a line on 4 pages (80%) is boilerplate,
+    # a line on 3 (60%) is not; per-page repeats count once
+    rows = []
+    for p in range(5):
+        lines = ["nav nav nav", "nav nav nav"]  # repeated on-page
+        if p < 4:
+            lines.append("footer-80pct")
+        if p < 3:
+            lines.append("promo-60pct")
+        lines.append(f"body-{p}")
+        rows.append(("h1", p, "\n".join(lines)))
+    pages = spark.createDataFrame(rows, "host string, page_id long, text string")
+    got = {
+        (r["line"]): (r["df"], r["n_pages"])
+        for r in CU.boilerplate_lines(pages).collect()
+    }
+    assert got == {"nav nav nav": (5, 5), "footer-80pct": (4, 5)}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.org then tel +1-555-0100 end"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.pii_scrub(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["clean"] == "mail <EMAIL> then tel <PHONE> end"
+    assert out[2]["n_emails"] == 0 and out[2]["clean"] == "no pii here"
+
+
+def test_source_quality_broadcasts_and_keeps_half_mean(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the and of to in a " * 30),  # high quality
+            (2, "s1", ";;;;;;;"),  # punctuation soup
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = CU.source_quality(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["kept"] and not rows[2]["kept"]
+    assert rows[1]["src_mean_bp"] == rows[2]["src_mean_bp"]
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_url_shape_loop_detection(spark):
+    urls = spark.createDataFrame(
+        [
+            ("h", "/a/b/a/b/a"),  # 'a' ×3 → loop
+            ("h", "/a/b/a"),  # 'a' ×2 → not a loop
+            ("h", "/x/y/z"),
+        ],
+        "host string, path string",
+    )
+    got = {r["path"]: r for r in url_shape(urls).collect()}
+    assert got["/a/b/a/b/a"]["is_loop"] and got["/a/b/a/b/a"]["depth"] == 5
+    assert not got["/a/b/a"]["is_loop"]
+    assert not got["/x/y/z"]["is_loop"]
+
+
+def test_trap_verdict_thresholds(spark):
+    shapes = spark.createDataFrame(
+        # loopy: 1 loop of 3 urls (33% ≥ 30%); deep: depth 12; clean host
+        [("loopy", "/a/a/a", 3, True)]
+        + [("loopy", f"/p{i}", 1, False) for i in range(2)]
+        + [("deep", "/" + "/".join("d" * 1 for _ in range(12)), 12, False)]
+        + [("clean", f"/q{i}", 1, False) for i in range(10)],
+        "host string, path string, depth long, is_loop boolean",
+    )
+    got = {r["host"]: r["is_trap"] for r in trap_verdict(shapes).collect()}
+    assert got == {"loopy": True, "deep": True, "clean": False}
+
+
+def test_recrawl_schedule_counts_and_clamps(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # url 1: 3 fetches over 10 days, 2 changes → span/2 = 5 d (in range)
+        (1, t0, 1.0, 1),
+        (1, t0 + dt.timedelta(days=5), 2.0, 2),
+        (1, t0 + dt.timedelta(days=10), 3.0, 3),
+        # url 2: never changes → span/1 > 7 d → clamped to MAX
+        (2, t0, 1.0, 4),
+        (2, t0 + dt.timedelta(days=30), 1.0, 5),
+        # url 3: single fetch → span 0 → clamped to MIN
+        (3, t0, 1.0, 6),
+    ]
+    fetches = spark.createDataFrame(
+        rows, "url_id long, ts timestamp, value double, event_id long"
+    )
+    out = {r["url_id"]: r for r in recrawl_schedule(fetches).collect()}
+    assert out[1]["n_changes"] == 2
+    assert out[1]["interval_ms"] == 5 * 86_400_000
+    assert out[2]["n_changes"] == 0
+    assert out[2]["interval_ms"] == MAX_INTERVAL_MS
+    assert out[3]["interval_ms"] == MIN_INTERVAL_MS
+    assert out[3]["next_fetch_ms"] == _unix_ms(t0) + MIN_INTERVAL_MS
+    assert out[1]["next_fetch_ms"] == _unix_ms(t0) + out[1]["span_ms"] + out[1]["interval_ms"]
+
+
+def _unix_ms(d: dt.datetime) -> int:
+    return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
