@@ -7,11 +7,13 @@ All four are pure DataFrame compositions over the shared text kernels
 combiner-backed aggregations, no Python in the loop — so they survive
 a 100 TB corpus scan:
 
-* ``chunk_dedup`` shuffles ONLY (md5 key, doc_id, pos) triples — never
-  the chunk text on the wide side — and its keeper choice is a
-  map-side-combinable ``min(struct)`` rather than a window, so one
-  mega-duplicated span (the classic null/empty chunk) is a single
-  reduce key with a tiny record, not a skewed window partition.
+* ``chunk_dedup``'s keeper-choice shuffle carries ONLY (md5 key,
+  doc_id, pos) triples — chunk text is projected away before that
+  exchange — and the keeper is a map-side-combinable ``min(struct)``
+  rather than a window, so one mega-duplicated span (the classic
+  empty chunk) is a single reduce key with a tiny record, not a
+  skewed window partition.  Only the final per-doc re-assembly
+  shuffles text, and it moves each doc's SURVIVING spans exactly once.
 * ``boilerplate_lines`` aggregates (host, line) doc frequencies with
   partial aggregation and broadcasts the per-host page counts (one row
   per host) back onto the frequency table.

@@ -33,9 +33,15 @@ def recrawl_schedule(
 ) -> DataFrame:
     """(url_id, n_fetches, n_changes, span_ms, interval_ms,
     next_fetch_ms) per URL from its fetch history."""
-    w = Window.partitionBy(url_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    # rename BEFORE the window so the groupBy below keys on the very
+    # attribute the window partitioned by — re-aliasing between them
+    # defeats Catalyst's alias-aware partitioning propagation and costs
+    # a second (same-key) exchange
+    if url_col != "url_id":
+        fetches = fetches.withColumnRenamed(url_col, "url_id")
+    w = Window.partitionBy("url_id").orderBy(F.col(ts_col), F.col(tiebreak_col))
     hist = fetches.select(
-        F.col(url_col).alias("url_id"),
+        F.col("url_id"),
         # parquet ts may be TIMESTAMP_NTZ; session TZ is pinned UTC
         # (session.py) so the LTZ cast is instant-preserving and
         # matches DuckDB epoch_ms

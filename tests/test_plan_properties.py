@@ -242,3 +242,63 @@ def test_content_sniff_is_codegen_binary(spark, sf_dir):
             m = re.search(r"ReadSchema: struct<([^>]*)>", line)
             cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
             assert cols == ["p_partkey"], line
+
+
+def test_chunk_dedup_keeper_shuffle_has_no_text(spark, sf_dir):
+    """Span dedup's keeper aggregate must combine map-side (partial
+    before the exchange) and its exchange must carry only the md5 key
+    + (doc_id, pos) — the span text is projected away before it.  No
+    window over the corpus, no cartesian."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_chunk_dedup(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # partial min(struct) keeper: two aggregate nodes around an exchange
+    assert plan.count("SortAggregate") + plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_trap_detect_single_aggregation_no_join(spark, sf_dir):
+    """Trap detection is one narrow projection + one combiner-backed
+    groupBy(host): no join at all, scan pruned to the two key columns."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_trap_detect(spark, sf_dir))
+    assert "Join" not in plan, plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+            assert set(cols) <= {"o_custkey", "o_orderkey"}, line
+
+
+def test_source_quality_mean_join_is_broadcast(spark, sf_dir):
+    """The per-source mean (one row per source) must broadcast back to
+    the docs — a shuffled join here would re-exchange the whole corpus
+    for a dimension of O(sources) rows."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_source_quality(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_scrub_is_pure_codegen_projection(spark, sf_dir):
+    """PII scrubbing is a single narrow JVM projection: no shuffle, no
+    join, no Python evaluation node."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_recrawl_schedule_one_shuffle_window_then_agg(spark, sf_dir):
+    """Recrawl scheduling shuffles the history ONCE by url_id; the lag
+    window and the final aggregate reuse that partitioning (no second
+    exchange of the events table)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_recrawl_schedule(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
