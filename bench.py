@@ -53,6 +53,12 @@ HEADLINE = [
     "q_lag_delta",
     "q_histogram",
     "q_corpus_filter",
+    "q_chunk_dedup",
+    "q_boilerplate",
+    "q_pii_scrub",
+    "q_source_quality",
+    "q_trap_detect",
+    "q_recrawl_schedule",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",
