@@ -59,6 +59,8 @@ HEADLINE = [
     "q_source_quality",
     "q_trap_detect",
     "q_recrawl_schedule",
+    "q_domain_cap",
+    "q_crawl_budget",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",

@@ -1644,6 +1644,50 @@ def q_trap_detect(spark, sf):
     return trap_verdict(url_shape(urls))
 
 
+def q_domain_cap(spark, sf):
+    """Domain capping — at most K docs per source, best-quality first
+    (deterministic doc_id tie-break): the anti-over-representation
+    step every web corpus applies so one mega-domain cannot dominate
+    training data.  One shuffle by source + per-source ranking window;
+    the cap bounds output at K×|sources|.  (At 10^10 docs with
+    mega-sources, the same contract is served by a two-level top-K —
+    per-partition head then merge — but the windowed form is the exact
+    semantics both paths must match.)"""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality_bp")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_bp").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        "rank <= 10"
+    )
+
+
+def q_crawl_budget(spark, sf):
+    """Authority-proportional crawl-budget allocation: each host's
+    next-round fetch budget is its PageRank share of a global budget
+    (100k fetches), clamped to [1, 500] — wiring the authority signal
+    into the politeness scheduler's per-host quota instead of a flat
+    budget.  All arithmetic is exact integer (micro-unit ranks, div),
+    so the allocation hash-matches the oracle's unrolled-CTE replay.
+    Plan: the PageRank iterations + ONE single-row global sum broadcast
+    back — no extra full-width shuffle."""
+    pr = _host_pagerank(spark, sf)
+    totals = pr.agg(F.sum("rank_micros").alias("total_micros"))
+    alloc = pr.crossJoin(F.broadcast(totals)).withColumn(
+        "budget",
+        F.least(
+            F.greatest(
+                F.expr("div(100000 * rank_micros, total_micros)"), F.lit(1).cast("long")
+            ),
+            F.lit(500).cast("long"),
+        ),
+    )
+    return alloc.select("host_id", "rank_micros", "budget")
+
+
 def q_recrawl_schedule(spark, sf):
     """Adaptive recrawl scheduling from the events fetch history: a
     change = value differing from the previous fetch (one per-URL lag
@@ -1716,6 +1760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_quality": q_source_quality,
     "q_trap_detect": q_trap_detect,
     "q_recrawl_schedule": q_recrawl_schedule,
+    "q_domain_cap": q_domain_cap,
+    "q_crawl_budget": q_crawl_budget,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2361,6 +2407,32 @@ ORACLES: dict[str, str] = {
                  OR max(depth) >= 12 AS is_trap
         FROM s GROUP BY host
     """,
+    "q_domain_cap": r"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 cast(len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS n_stopwords,
+                 cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      AS BIGINT) AS n_punct,
+                 greatest(cast(length(text) AS DOUBLE), 1.0) AS chars
+          FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 cast(floor(5000 * least(n_tokens, 128) / 128) AS BIGINT)
+               + least(cast(floor(24000 * n_stopwords / greatest(n_tokens, 1))
+                            AS BIGINT), 3000)
+               + 2000 - least(cast(floor(40000 * n_punct / chars) AS BIGINT),
+                              2000) AS quality_bp
+          FROM s),
+        r AS (
+          SELECT doc_id, source, quality_bp,
+                 CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY quality_bp DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM q)
+        SELECT doc_id, source, quality_bp, rank FROM r WHERE rank <= 10
+    """,
     "q_recrawl_schedule": """
         WITH h AS (
           SELECT user_id AS url_id, epoch_ms(ts) AS ms, value AS v,
@@ -2570,6 +2642,20 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
     "q_pagerank_hosts": _pagerank_sql(n_iter=5),
+    # budget allocation: same unrolled PageRank recurrence, then the
+    # integer proportional split (100k global budget, clamp [1, 500])
+    "q_crawl_budget": (
+        "WITH "
+        + _pagerank_ctes(5)
+        + """,
+        pr AS (SELECT node AS host_id, rank_micros FROM r5),
+        t AS (SELECT CAST(sum(rank_micros) AS BIGINT) AS total_micros FROM pr)
+        SELECT pr.host_id, pr.rank_micros,
+               least(greatest(100000 * pr.rank_micros // t.total_micros, 1),
+                     500) AS budget
+        FROM pr CROSS JOIN t
+    """
+    ),
     "q_authority_order": f"""
         WITH {_pagerank_ctes(5)},
         pr AS (SELECT node AS host_id, rank_micros FROM r5),

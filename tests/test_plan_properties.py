@@ -302,3 +302,27 @@ def test_recrawl_schedule_one_shuffle_window_then_agg(spark, sf_dir):
     plan = _plan(C.q_recrawl_schedule(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_cap_one_shuffle_pruned_scan(spark, sf_dir):
+    """Domain capping is one shuffle by source feeding the ranking
+    window; the scan reads only (doc_id, source, text)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_domain_cap(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+            assert cols == ["doc_id", "source", "text"], line
+
+
+def test_crawl_budget_total_join_is_broadcast(spark, sf_dir):
+    """The global rank-sum (one row) must broadcast back onto the rank
+    table — never a shuffled join, never a cartesian over hosts."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_crawl_budget(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
