@@ -61,6 +61,7 @@ HEADLINE = [
     "q_recrawl_schedule",
     "q_domain_cap",
     "q_crawl_budget",
+    "q_decontaminate",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",

@@ -1644,6 +1644,21 @@ def q_trap_detect(spark, sf):
     return trap_verdict(url_shape(urls))
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination — docs sharing ≥3 distinct token
+    5-grams with the (synthetic) eval split (doc_id % 50 == 0) are
+    flagged; every other doc reports its overlap count.  The eval-gram
+    table broadcasts (eval sets are small by construction) so the
+    corpus side never shuffles before the per-doc count
+    (curation.decontaminate)."""
+    from .functions import curation as CU
+
+    docs = _t(spark, sf, "documents")
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return CU.decontaminate(corpus, evalset, n=5, threshold=3)
+
+
 def q_domain_cap(spark, sf):
     """Domain capping — at most K docs per source, best-quality first
     (deterministic doc_id tie-break): the anti-over-representation
@@ -1673,7 +1688,10 @@ def q_crawl_budget(spark, sf):
     budget.  All arithmetic is exact integer (micro-unit ranks, div),
     so the allocation hash-matches the oracle's unrolled-CTE replay.
     Plan: the PageRank iterations + ONE single-row global sum broadcast
-    back — no extra full-width shuffle."""
+    back — no extra full-width shuffle, and no recompute of the
+    recurrence for the sum side (graph.pagerank returns an eager
+    localCheckpoint, so both branches read the materialized rank
+    table)."""
     pr = _host_pagerank(spark, sf)
     totals = pr.agg(F.sum("rank_micros").alias("total_micros"))
     alloc = pr.crossJoin(F.broadcast(totals)).withColumn(
@@ -1762,6 +1780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_recrawl_schedule": q_recrawl_schedule,
     "q_domain_cap": q_domain_cap,
     "q_crawl_budget": q_crawl_budget,
+    "q_decontaminate": q_decontaminate,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2406,6 +2425,27 @@ ORACLES: dict[str, str] = {
                   >= count(*) * 3)
                  OR max(depth) >= 12 AS is_trap
         FROM s GROUP BY host
+    """,
+    "q_decontaminate": f"""
+        WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                   FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS grams
+          FROM d),
+        e AS (SELECT DISTINCT {_md5i("unnest(grams)")} AS gh
+              FROM g WHERE doc_id % 50 = 0),
+        c AS (SELECT doc_id, {_md5i("unnest(grams)")} AS gh
+              FROM g WHERE doc_id % 50 <> 0),
+        h AS (SELECT c.doc_id, count(*) AS n_overlap
+              FROM c JOIN e USING (gh) GROUP BY c.doc_id)
+        SELECT corp.doc_id,
+               CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               coalesce(h.n_overlap, 0) >= 3 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) corp
+        LEFT JOIN h ON corp.doc_id = h.doc_id
     """,
     "q_domain_cap": r"""
         WITH s AS (

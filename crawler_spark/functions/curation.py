@@ -153,6 +153,52 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    n: int = 5,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥
+    ``threshold`` distinct token ``n``-grams with any eval-set doc —
+    the test-set overlap removal every published LLM corpus runs
+    before training.
+
+    Returns (doc_id, n_overlap, contaminated) for EVERY corpus doc
+    (zero-overlap docs included, n_overlap = 0).
+
+    Scale shape: eval sets are small by construction, so the distinct
+    eval-gram table BROADCASTS — the 10^10-doc corpus side never
+    shuffles; its grams stream through a map-side hash join into one
+    combiner-backed per-doc count.  Grams travel as 60-bit portable
+    hashes (md5_int60), never strings.
+    """
+    gram_h = lambda c: TX.md5_int60(c)  # noqa: E731 — shared portable hash
+    eval_grams = (
+        evalset.select(F.explode(TX.token_ngrams(text_col, n)).alias("gram"))
+        .select(gram_h(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.token_ngrams(text_col, n)).alias("gram"),
+    ).select("doc_id", gram_h(F.col("gram")).alias("gh"))
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def source_quality(docs: DataFrame) -> DataFrame:
     """Source-level quality propagation: score every doc (integer basis
     points, the shared ``text.quality_score`` kernel), aggregate the

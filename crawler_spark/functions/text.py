@@ -152,6 +152,25 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def token_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct token ``n``-grams of the canonical text (array<string>,
+    sliding window over the ONE shared tokenization).  Pure codegen:
+    transform over an index sequence, no explode until the caller
+    chooses to shuffle.  Documents shorter than ``n`` tokens yield an
+    empty array."""
+    toks = token_array(col)
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def md5_int60(col: Column) -> Column:
     """Portable 60-bit integer hash: the first 15 hex digits of md5 as a
     non-negative int64.  Bit-identical in any engine with md5 + hex

@@ -147,3 +147,48 @@ def test_recrawl_schedule_counts_and_clamps(spark):
 
 def _unix_ms(d: dt.datetime) -> int:
     return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 3 shared 5-grams (alpha..epsilon, beta..zeta, gamma..eta)
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # only 1 shared 5-gram
+            (2, "alpha beta gamma delta epsilon XXX YYY"),
+            (3, "nothing shared at all here friend"),
+            (4, "shrt"),  # < 5 tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    from crawler_spark.functions.curation import decontaminate
+
+    out = {r["doc_id"]: r for r in decontaminate(corpus, evalset).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 3
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 1
+    assert out[3]["n_overlap"] == 0 and out[4]["n_overlap"] == 0
+    assert len(out) == 4  # every corpus doc reported
+
+
+def test_chunk_dedup_global_conservation(spark, sf_dir):
+    """Corpus-wide invariant: total kept spans == number of DISTINCT
+    spans in the corpus (each distinct span survives exactly once)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.curation import chunk_dedup, token_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_dedup(docs, n=3)
+    kept_total = out.agg(
+        F.sum(F.col("n_chunks") - F.col("n_removed")).alias("k")
+    ).collect()[0]["k"]
+    distinct_chunks = (
+        docs.select(F.explode(token_chunks("text", 3)).alias("c"))
+        .select(F.countDistinct("c").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert kept_total == distinct_chunks

@@ -326,3 +326,13 @@ def test_crawl_budget_total_join_is_broadcast(spark, sf_dir):
     plan = _plan(C.q_crawl_budget(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_eval_grams_broadcast(spark, sf_dir):
+    """The eval-gram table must broadcast — the corpus side streams
+    through a map-side hash join, never a shuffled gram join."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
