@@ -92,6 +92,7 @@ HEADLINE = [
     # mapInPandas codecs — the graft's image leg, visible per-round
     "q_image_psnr",
     "q_pair_quality",
+    "q_image_quality_gate",
     "q_frame_sample",
     "q_audio_features",
 ]

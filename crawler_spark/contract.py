@@ -1512,6 +1512,50 @@ def q_pair_quality(spark, sf):
     )
 
 
+def q_image_quality_gate(spark, sf):
+    """Visual-quality gate — the image-side counterpart of
+    q_corpus_filter: entropy / contrast / flat-run / exposure
+    statistics from ONE Arrow kernel (multimodal.image_stats, integer
+    stats so thresholds are representation-exact), composed into
+    machine-readable keep/drop reasons by pure codegen expressions —
+    the blank/flat/banner filter an image-caption corpus runs before
+    dedup.  Rows-only: pixel decode is not DuckDB-expressible; kernel
+    invariants (flat image → low entropy + full flat share, noise →
+    high entropy) are test-pinned."""
+    from .functions.multimodal import image_stats
+
+    docs = _t(spark, sf, "documents").limit(200)
+    imgs = attach_synthetic_images(docs, "doc_id")
+    # every 10th payload truncated to its first 8 bytes: bad bytes at
+    # 100 TB are data, not exceptions — the gate must ROUTE them
+    # (reason='corrupt'), not fail the task
+    imgs = imgs.withColumn(
+        "bytes",
+        F.when(
+            F.expr("CAST(substr(image_id, -2, 2) AS INT) % 10 = 0"),
+            F.expr("substring(bytes, 1, 8)"),
+        ).otherwise(F.col("bytes")),
+    )
+    stats = image_stats(imgs)
+    reason = (
+        F.when(~F.col("decode_ok"), F.lit("corrupt"))
+        .when(F.col("mean_luma") < 16.0, F.lit("too_dark"))
+        .when(F.col("mean_luma") > 240.0, F.lit("too_bright"))
+        .when(F.col("flat_share_bp") >= 9000, F.lit("flat"))
+        .when(F.col("entropy_cb") < 100, F.lit("low_entropy"))
+        .otherwise(F.lit("kept"))
+    )
+    return stats.select(
+        "image_id",
+        "mean_luma",
+        "entropy_cb",
+        "contrast_cb",
+        "flat_share_bp",
+        reason.alias("reason"),
+        (reason == "kept").cast("boolean").alias("kept"),
+    )
+
+
 def q_audio_features(spark, sf):
     """Audio-modality feature extraction over REAL RIFF/WAVE PCM16
     payloads (crawler_spark.audio — the one modality whose codec needs
@@ -1811,6 +1855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_phash_clusters": q_image_phash_clusters,
     "q_image_psnr": q_image_psnr,
     "q_pair_quality": q_pair_quality,
+    "q_image_quality_gate": q_image_quality_gate,
     "q_audio_features": q_audio_features,
     "q_frame_sample": q_frame_sample,
 }

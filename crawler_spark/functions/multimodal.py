@@ -73,6 +73,64 @@ def decode_meta(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=DECODED_META)
 
 
+IMAGE_STATS = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("entropy_cb", T.LongType(), True),
+        T.StructField("contrast_cb", T.LongType(), True),
+        T.StructField("flat_share_bp", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Per-image visual-quality statistics for corpus gating: Shannon
+    entropy of the 8-bit luma histogram (centibits, 0-800), luma
+    standard deviation (centi-units), and flat-run share (fraction of
+    horizontally-adjacent equal luma pixels, basis points) — the
+    signals that catch blank/flat/synthetic-banner images a trained
+    corpus should drop.  All stats are emitted as integers so the gate
+    thresholds are representation-exact.
+
+    One Arrow kernel over (image_id, bytes, fmt); bytes never shuffle
+    (project early, join late — same discipline as decode_meta)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_STATS.fields}
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                out["image_id"].append(img_id)
+                try:
+                    px = I.decode_image(bytes(data), str(fmt))
+                    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                    lu8 = np.clip(np.round(luma), 0, 255).astype(np.uint8)
+                    hist = np.bincount(lu8.ravel(), minlength=256)
+                    p = hist[hist > 0] / lu8.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    if lu8.shape[1] > 1:
+                        flat = float((lu8[:, :-1] == lu8[:, 1:]).mean())
+                    else:
+                        flat = 1.0
+                    out["mean_luma"].append(float(np.round(luma.mean(), 4)))
+                    out["entropy_cb"].append(int(round(entropy * 100)))
+                    out["contrast_cb"].append(int(round(float(luma.std()) * 100)))
+                    out["flat_share_bp"].append(int(round(flat * 10_000)))
+                    out["decode_ok"].append(True)
+                except Exception:
+                    out["mean_luma"].append(None)
+                    out["entropy_cb"].append(None)
+                    out["contrast_cb"].append(None)
+                    out["flat_share_bp"].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=IMAGE_STATS
+    )
+
+
 RESIZED = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -211,3 +211,29 @@ def test_decode_png_real_world_filters_and_color_types():
         I.decode_png(hdr_only(3, 0))  # palette
     with pytest.raises(NotImplementedError):
         I.decode_png(hdr_only(2, 1))  # Adam7
+
+
+def test_image_stats_flat_vs_noise(spark):
+    """image_stats kernel invariants: a constant image has zero
+    entropy/contrast and full flat share; deterministic noise has high
+    entropy and low flat share; corrupt bytes report decode_ok=False."""
+    from crawler_spark.functions.multimodal import image_stats
+
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    noise = I.gen_pixels(seed=7, k=3, w=16, h=16)
+    rows = [
+        ("flat", bytearray(I.encode_png(flat)), 16, 16, "png"),
+        ("noise", bytearray(I.encode_png(noise)), 16, 16, "png"),
+        ("corrupt", bytearray(b"\x00\x01\x02"), 0, 0, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r for r in image_stats(df).collect()}
+    assert got["flat"]["entropy_cb"] == 0
+    assert got["flat"]["contrast_cb"] == 0
+    assert got["flat"]["flat_share_bp"] == 10_000
+    assert got["noise"]["entropy_cb"] > 300
+    assert got["noise"]["flat_share_bp"] < 2_000
+    assert not got["corrupt"]["decode_ok"]
+    assert got["corrupt"]["entropy_cb"] is None
