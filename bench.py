@@ -62,6 +62,7 @@ HEADLINE = [
     "q_domain_cap",
     "q_crawl_budget",
     "q_decontaminate",
+    "q_outlink_extract",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",

@@ -1688,6 +1688,53 @@ def q_trap_detect(spark, sf):
     return trap_verdict(url_shape(urls))
 
 
+def q_outlink_extract(spark, sf):
+    """Outlink extraction — the operator that FEEDS a general frontier:
+    pull every ``<a href>`` from the page HTML (RE2-safe pattern,
+    shared verbatim with the oracle), canonicalize (fragment strip +
+    ``.html`` cut, crawler_spark.canon — the SAME pipeline the engine's
+    URL-seen keys use), split out the host, and dedup per page (one
+    page linking twice to one canonical target yields one frontier
+    candidate).  Synthesized pages carry absolute links, fragments,
+    ``.html`` suffixes, and a duplicate pair so every canon branch and
+    the per-page dedup are exercised.  Narrow extract → explode →
+    distinct; the only shuffle is the final dedup, keyed on
+    (doc_id, canon_url)."""
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        F.pmod(k, F.lit(30)).cast("string"),
+        F.lit(".example/p/"),
+        k.cast("string"),
+        F.lit('.html#frag">x</a> <a href="https://h'),
+        F.pmod(k + 1, F.lit(30)).cast("string"),
+        F.lit(".example/q?page="),
+        F.pmod(k, F.lit(5)).cast("string"),
+        F.lit('">y</a> <a href="https://h'),
+        F.pmod(k, F.lit(30)).cast("string"),
+        F.lit(".example/p/"),
+        k.cast("string"),
+        F.lit('.html">dup</a></body></html>'),
+    )
+    from .canon import canonical_url_col, host_col
+
+    links = p.select(
+        k.alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit(r'<a href="([^"]+)"'), F.lit(1))
+        ).alias("href"),
+    )
+    return (
+        links.select(
+            "doc_id",
+            canonical_url_col(F.col("href")).alias("canon_url"),
+        )
+        .withColumn("host", host_col(F.col("canon_url")))
+        .distinct()
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination — docs sharing ≥3 distinct token
     5-grams with the (synthetic) eval split (doc_id % 50 == 0) are
@@ -1825,6 +1872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_domain_cap": q_domain_cap,
     "q_crawl_budget": q_crawl_budget,
     "q_decontaminate": q_decontaminate,
+    "q_outlink_extract": q_outlink_extract,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2470,6 +2518,33 @@ ORACLES: dict[str, str] = {
                   >= count(*) * 3)
                  OR max(depth) >= 12 AS is_trap
         FROM s GROUP BY host
+    """,
+    "q_outlink_extract": """
+        WITH h AS (
+          SELECT p_partkey AS doc_id,
+                 '<html><body><a href="https://h'
+                 || CAST(p_partkey % 30 AS VARCHAR) || '.example/p/'
+                 || CAST(p_partkey AS VARCHAR)
+                 || '.html#frag">x</a> <a href="https://h'
+                 || CAST((p_partkey + 1) % 30 AS VARCHAR) || '.example/q?page='
+                 || CAST(p_partkey % 5 AS VARCHAR)
+                 || '">y</a> <a href="https://h'
+                 || CAST(p_partkey % 30 AS VARCHAR) || '.example/p/'
+                 || CAST(p_partkey AS VARCHAR)
+                 || '.html">dup</a></body></html>' AS html
+          FROM part),
+        l AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS href
+          FROM h),
+        c AS (
+          SELECT DISTINCT doc_id,
+                 split_part(split_part(href, '#', 1), '.html', 1) AS canon_url
+          FROM l)
+        SELECT doc_id, canon_url,
+               regexp_extract(canon_url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host
+        FROM c
     """,
     "q_decontaminate": f"""
         WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
