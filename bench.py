@@ -63,6 +63,7 @@ HEADLINE = [
     "q_crawl_budget",
     "q_decontaminate",
     "q_outlink_extract",
+    "q_weighted_sample",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",

@@ -1688,6 +1688,33 @@ def q_trap_detect(spark, sf):
     return trap_verdict(url_shape(urls))
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic quality-WEIGHTED sampling: per source, keep the 5
+    docs with the smallest ``hash(doc_id) div quality`` priority key —
+    higher-quality docs get proportionally smaller keys, so the sample
+    tilts toward quality while staying a pure function of (doc_id,
+    text): reproducible across runs, engines, and cluster sizes (no
+    rand(), which is seed-per-partition and reshuffles differently at
+    every parallelism).  Integer-exact throughout.  One shuffle by
+    source feeding the ranking window."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality_bp")
+    ).withColumn(
+        "samp_key",
+        F.expr(
+            "div(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT),"
+            " greatest(quality_bp, 1L))"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("samp_key").asc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        "rank <= 5"
+    )
+
+
 def q_outlink_extract(spark, sf):
     """Outlink extraction — the operator that FEEDS a general frontier:
     pull every ``<a href>`` from the page HTML (RE2-safe pattern,
@@ -1873,6 +1900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_budget": q_crawl_budget,
     "q_decontaminate": q_decontaminate,
     "q_outlink_extract": q_outlink_extract,
+    "q_weighted_sample": q_weighted_sample,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2518,6 +2546,38 @@ ORACLES: dict[str, str] = {
                   >= count(*) * 3)
                  OR max(depth) >= 12 AS is_trap
         FROM s GROUP BY host
+    """,
+    "q_weighted_sample": r"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 cast(len(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b'))
+                      AS BIGINT) AS n_stopwords,
+                 cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      AS BIGINT) AS n_punct,
+                 greatest(cast(length(text) AS DOUBLE), 1.0) AS chars
+          FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 cast(floor(5000 * least(n_tokens, 128) / 128) AS BIGINT)
+               + least(cast(floor(24000 * n_stopwords / greatest(n_tokens, 1))
+                            AS BIGINT), 3000)
+               + 2000 - least(cast(floor(40000 * n_punct / chars) AS BIGINT),
+                              2000) AS quality_bp
+          FROM s),
+        k AS (
+          SELECT doc_id, source, quality_bp,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) // greatest(quality_bp, 1) AS samp_key
+          FROM q),
+        r AS (
+          SELECT doc_id, source, quality_bp, samp_key,
+                 CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY samp_key ASC, doc_id ASC) AS BIGINT) AS rank
+          FROM k)
+        SELECT doc_id, source, quality_bp, samp_key, rank
+        FROM r WHERE rank <= 5
     """,
     "q_outlink_extract": """
         WITH h AS (
