@@ -58,3 +58,14 @@ def trap_verdict(shapes: DataFrame) -> DataFrame:
         "is_trap",
         (F.col("n_loop") * 10 >= F.col("n_urls") * 3) | (F.col("max_depth") >= 12),
     )
+
+
+def gate_frontier(
+    frontier: DataFrame, verdicts: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Drop every frontier row on a trap-flagged host.  The verdict
+    table is O(hosts) — it BROADCASTS into a left-anti join, so the
+    frontier (the 10^10-row side) never shuffles for the gate.  Same
+    composition shape as the robots gate (operators/robots.py)."""
+    traps = verdicts.filter(F.col("is_trap")).select(F.col("host").alias(host_col))
+    return frontier.join(F.broadcast(traps), host_col, "left_anti")

@@ -192,3 +192,22 @@ def test_chunk_dedup_global_conservation(spark, sf_dir):
         .collect()[0]["d"]
     )
     assert kept_total == distinct_chunks
+
+
+def test_gate_frontier_drops_trap_hosts_broadcast(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from crawler_spark.operators.traps import gate_frontier, trap_verdict, url_shape
+
+    urls = spark.createDataFrame(
+        [("bad", "/a/a/a"), ("bad", "/a/a/a/a"), ("ok", "/x"), ("ok", "/y")],
+        "host string, path string",
+    )
+    verdicts = trap_verdict(url_shape(urls))
+    frontier = spark.createDataFrame(
+        [("bad", "u1"), ("ok", "u2"), ("ok", "u3")], "host string, url string"
+    )
+    out = gate_frontier(frontier, verdicts)
+    assert sorted(r["url"] for r in out.collect()) == ["u2", "u3"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
