@@ -116,17 +116,24 @@ def boilerplate_lines(
     lines count once (distinct per page) so a page repeating its own
     nav bar cannot promote it alone.
     """
-    lines = (
-        pages.select(
-            F.col(host_col).alias("host"),
-            F.col(page_col).alias("page_id"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(page_col).alias("page_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.trim("line") != "")
+    # ONE aggregate does both jobs: countDistinct(page_id) makes
+    # per-page repeats count once (no separate full-text distinct
+    # shuffle), and the group key is the 16-byte line hash — the line
+    # text rides along as a combiner-reduced min(), so the shuffle
+    # carries each distinct line once per map partition, not per page
+    df_counts = (
+        lines.withColumn("lh", F.md5("line"))
+        .groupBy("host", "lh")
+        .agg(
+            F.countDistinct("page_id").alias("df"),
+            F.min("line").alias("line"),
         )
-        .filter(F.trim("line") != "")
-        .distinct()
-    )
-    df_counts = lines.groupBy("host", "line").agg(
-        F.count(F.lit(1)).alias("df")
+        .drop("lh")
     )
     page_counts = pages.select(
         F.col(host_col).alias("host"), F.col(page_col).alias("page_id")
