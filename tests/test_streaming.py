@@ -358,3 +358,53 @@ def test_pacing_stream_state_gc_is_lossless(spark, tmp_path):
     assert len(rows) == 3
     for ts_ms, sched_ms in rows.values():
         assert sched_ms == ts_ms, rows
+
+
+def test_decode_meta_stream_equals_batch(spark, tmp_path):
+    """The image-decode Arrow kernel (multimodal.decode_meta) is
+    stateless mapInPandas, so it runs UNCHANGED on a streaming frame —
+    the payload axis composes with Structured Streaming: per-row
+    results over micro-batches equal the one-shot batch decode of the
+    same files (including the corrupt-payload routing)."""
+    import pyspark.sql.functions as F
+
+    from crawler_spark.functions.multimodal import (
+        attach_synthetic_images,
+        decode_meta,
+    )
+
+    src = str(tmp_path / "imgs")
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    imgs = attach_synthetic_images(docs, "doc_id").withColumn(
+        "bytes",
+        F.when(
+            F.expr("CAST(substr(image_id, -1, 1) AS INT) % 8 = 0"),
+            F.expr("substring(bytes, 1, 4)"),  # corrupt a slice
+        ).otherwise(F.col("bytes")),
+    )
+    imgs.write.parquet(src)
+    schema = imgs.schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        decode_meta(stream)
+        .writeStream.format("memory")
+        .queryName("img_meta_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["image_id"]: (r["dec_phash"], r["decode_ok"])
+            for r in spark.sql("SELECT * FROM img_meta_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r["image_id"]: (r["dec_phash"], r["decode_ok"])
+        for r in decode_meta(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(want) == 24
+    assert any(not ok for (_, ok) in want.values())  # corrupt routing hit
