@@ -64,6 +64,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_outlink_extract",
     "q_weighted_sample",
+    "q_inverted_index",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",

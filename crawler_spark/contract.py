@@ -1704,6 +1704,43 @@ def q_trap_detect(spark, sf):
     return trap_verdict(url_shape(urls))
 
 
+def q_inverted_index(spark, sf):
+    """Inverted-index construction — the artifact a crawl feeds a
+    search engine: per term, the document frequency and the posting
+    list (capped at the 20 lowest doc_ids, rendered as a string so the
+    value-hash compare is representation-stable).  Distinct terms per
+    doc via the per-row token array (no corpus-level distinct — the
+    dedup happens inside ``array_distinct`` before the explode).  The
+    cap is applied by a streaming row_number window BEFORE any
+    collect_list, so a stopword-grade term never materializes its full
+    posting list in one reducer; the df stays exact over ALL postings
+    (combiner-backed count).  The window, the capped collect, and the
+    df count all key on ``term``, so the plan reuses one exchange for
+    the window+collect side.  Only terms with df ≥ 2 are emitted."""
+    docs = _t(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.token_array("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        terms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
+    )
+    return (
+        counts.filter(F.col("df") >= 2)
+        .join(postings, "term")
+        .select("term", "df", "postings")
+    )
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic quality-WEIGHTED sampling: per source, keep the 5
     docs with the smallest ``hash(doc_id) div quality`` priority key —
@@ -1917,6 +1954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,
     "q_outlink_extract": q_outlink_extract,
     "q_weighted_sample": q_weighted_sample,
+    "q_inverted_index": q_inverted_index,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2562,6 +2600,27 @@ ORACLES: dict[str, str] = {
                   >= count(*) * 3)
                  OR max(depth) >= 12 AS is_trap
         FROM s GROUP BY host
+    """,
+    "q_inverted_index": f"""
+        WITH d AS (
+          SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS ts
+          FROM documents),
+        t AS (
+          SELECT doc_id, term FROM
+            (SELECT doc_id, unnest(ts) AS term FROM d)
+          WHERE term <> ''),
+        c AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+        r AS (
+          SELECT term, doc_id,
+                 row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+          FROM t),
+        p AS (
+          SELECT term,
+                 array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+          FROM r WHERE rn <= 20 GROUP BY term)
+        SELECT c.term, CAST(c.df AS BIGINT) AS df, p.postings
+        FROM c JOIN p ON c.term = p.term
+        WHERE c.df >= 2
     """,
     "q_weighted_sample": r"""
         WITH s AS (
