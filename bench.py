@@ -65,6 +65,7 @@ HEADLINE = [
     "q_outlink_extract",
     "q_weighted_sample",
     "q_inverted_index",
+    "q_cluster_canonical",
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",

@@ -1321,6 +1321,33 @@ def q_neardup_dedup(spark, sf):
     )
 
 
+def q_cluster_canonical(spark, sf):
+    """Canonical-document selection per near-dup cluster: instead of
+    the min-id keeper (q_neardup_dedup), each cluster keeps its
+    HIGHEST-QUALITY member (shared integer quality kernel; min doc_id
+    tie-break) — the policy real corpus builds use, since the first-id
+    copy of a boilerplate-heavy page is rarely the best one.  The
+    keeper choice is a combinable ``max(struct(quality, -id))`` — no
+    per-cluster window, so one mega-cluster is a single reduce key."""
+    cc = _dup_cc(spark, sf)
+    q = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("node"), TX.quality_score("text").alias("quality_bp")
+    )
+    j = cc.join(q, "node")
+    agg = j.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.max(F.struct(F.col("quality_bp"), (-F.col("node")).alias("neg_id"))).alias(
+            "k"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("k.neg_id")).cast("long").alias("canonical_id"),
+        F.col("k.quality_bp").alias("canonical_quality_bp"),
+        "n_members",
+    )
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash+LSH near-dup pairs, exact-verified.  Portable md5-int60
     shingle hashes: the DuckDB oracle replays signatures (HUGEINT
@@ -1955,6 +1982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_outlink_extract": q_outlink_extract,
     "q_weighted_sample": q_weighted_sample,
     "q_inverted_index": q_inverted_index,
+    "q_cluster_canonical": q_cluster_canonical,
     "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
@@ -2935,6 +2963,40 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_members
         FROM (SELECT n, min(m) AS doc_id FROM reach GROUP BY n)
         GROUP BY doc_id
+    """,
+    # same closure, quality-based canonical per cluster: max quality,
+    # min doc_id tie-break (the quality CTE mirrors q_corpus_filter's)
+    "q_cluster_canonical": f"""
+        {_DUP_CC_CTE},
+        comp AS (SELECT n AS node, min(m) AS cluster_id FROM reach GROUP BY n),
+        s AS (
+          SELECT doc_id,
+                 cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+                 cast(len(regexp_extract_all(text, '\\b(the|and|of|to|in|a)\\b'))
+                      AS BIGINT) AS n_stopwords,
+                 cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      AS BIGINT) AS n_punct,
+                 greatest(cast(length(text) AS DOUBLE), 1.0) AS chars
+          FROM documents),
+        qual AS (
+          SELECT doc_id,
+                 cast(floor(5000 * least(n_tokens, 128) / 128) AS BIGINT)
+               + least(cast(floor(24000 * n_stopwords / greatest(n_tokens, 1))
+                            AS BIGINT), 3000)
+               + 2000 - least(cast(floor(40000 * n_punct / chars) AS BIGINT),
+                              2000) AS quality_bp
+          FROM s),
+        ranked AS (
+          SELECT comp.cluster_id, comp.node, qual.quality_bp,
+                 row_number() OVER (PARTITION BY comp.cluster_id
+                     ORDER BY qual.quality_bp DESC, comp.node ASC) AS rn,
+                 count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+          FROM comp JOIN qual ON qual.doc_id = comp.node)
+        SELECT cluster_id, CAST(node AS BIGINT) AS canonical_id,
+               quality_bp AS canonical_quality_bp,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
     """,
     "q_pagerank_hosts": _pagerank_sql(n_iter=5),
     # budget allocation: same unrolled PageRank recurrence, then the
