@@ -336,3 +336,39 @@ def test_decontaminate_eval_grams_broadcast(spark, sf_dir):
     plan = _plan(C.q_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_one_shuffle(spark, sf_dir):
+    """Weighted sampling is one shuffle by source feeding the ranking
+    window — the priority key is computed map-side."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_weighted_sample(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_inverted_index_two_exchanges_no_cartesian(spark, sf_dir):
+    """Inverted-index construction needs exactly two term exchanges
+    (exact-df branch; window+capped-collect branch, whose groupBy and
+    join reuse the window's partitioning) and never a nested loop."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_inverted_index(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_cluster_canonical_keeper_is_aggregate_not_window(spark, sf_dir):
+    """The canonical keeper must be the combinable max(struct) — no
+    ranking window over cluster members in the final selection (the
+    connected-components stage may window internally, but the keeper
+    aggregate appears as a hash/object aggregate keyed on component)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_cluster_canonical(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortAggregate" in plan
+        or "ObjectHashAggregate" in plan
+        or "HashAggregate" in plan
+    ), plan
