@@ -85,3 +85,16 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_host_pagerank_memo_keyed_by_sf(spark):
+    """The rank-table memo must return the SAME materialized frame for
+    repeat calls on one (session, sf) and DIFFERENT frames across sf
+    dirs (a stale cross-sf hit would silently serve wrong ranks)."""
+    from crawler_spark import contract as C
+
+    a1 = C._host_pagerank(spark, "/root/testdata/sf0.001")
+    a2 = C._host_pagerank(spark, "/root/testdata/sf0.001")
+    b = C._host_pagerank(spark, "/root/testdata/sf0.01")
+    assert a1 is a2
+    assert a1 is not b
