@@ -58,6 +58,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_source_quality",
     "q_trap_detect",
+    "q_mirror_hosts",
     "q_recrawl_schedule",
     "q_domain_cap",
     "q_crawl_budget",

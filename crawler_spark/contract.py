@@ -1731,6 +1731,21 @@ def q_trap_detect(spark, sf):
     return trap_verdict(url_shape(urls))
 
 
+def q_mirror_hosts(spark, sf):
+    """Mirror/alias-host detection: source pairs sharing ≥20 distinct
+    token 7-gram hashes (portable md5-int60), scored with the exact-
+    integer overlap coefficient in basis points.  Hot shingles (on >64
+    sources) are dropped before the self-join — the boilerplate skew
+    guard (operators/mirrors.py).  The reference crawls one curated
+    domain and never meets mirrors; at 10^10-URL scale collapsing them
+    is a first-class frontier-hygiene stage."""
+    from .operators.mirrors import mirror_pairs
+
+    return mirror_pairs(
+        _t(spark, sf, "documents"), n=7, min_shared=20, max_gram_sources=64
+    )
+
+
 def q_inverted_index(spark, sf):
     """Inverted-index construction — the artifact a crawl feeds a
     search engine: per term, the document frequency and the posting
@@ -1975,6 +1990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scrub": q_pii_scrub,
     "q_source_quality": q_source_quality,
     "q_trap_detect": q_trap_detect,
+    "q_mirror_hosts": q_mirror_hosts,
     "q_recrawl_schedule": q_recrawl_schedule,
     "q_domain_cap": q_domain_cap,
     "q_crawl_budget": q_crawl_budget,
@@ -2628,6 +2644,33 @@ ORACLES: dict[str, str] = {
                   >= count(*) * 3)
                  OR max(depth) >= 12 AS is_trap
         FROM s GROUP BY host
+    """,
+    "q_mirror_hosts": f"""
+        WITH d AS (SELECT source, string_split({_NORM}, ' ') AS t
+                   FROM documents),
+        g AS (
+          SELECT source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 6),
+                   i -> array_to_string(t[i:i+6], ' ')))) AS gram
+          FROM d),
+        gs AS (SELECT DISTINCT source, {_md5i('gram')} AS gh FROM g),
+        ok AS (SELECT gh FROM gs GROUP BY gh
+               HAVING count(*) BETWEEN 2 AND 64),
+        cp AS (SELECT gs.source, gs.gh FROM gs JOIN ok USING (gh)),
+        p AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS shared_grams
+          FROM cp a JOIN cp b USING (gh)
+          WHERE a.source < b.source
+          GROUP BY 1, 2 HAVING count(*) >= 20),
+        tot AS (SELECT source, count(*) AS n_grams FROM gs GROUP BY source)
+        SELECT p.source_a, p.source_b, p.shared_grams,
+               CAST(10000 * p.shared_grams // least(ta.n_grams, tb.n_grams)
+                    AS BIGINT) AS containment_bp
+        FROM p
+        JOIN tot ta ON p.source_a = ta.source
+        JOIN tot tb ON p.source_b = tb.source
     """,
     "q_inverted_index": f"""
         WITH d AS (

@@ -211,3 +211,54 @@ def test_gate_frontier_drops_trap_hosts_broadcast(spark):
     assert sorted(r["url"] for r in out.collect()) == ["u2", "u3"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_mirror_pairs_cap_and_containment(spark):
+    from crawler_spark.operators.mirrors import mirror_pairs
+
+    # A and B mirror two 3-gram shingles; "bp bp bp" is boilerplate on
+    # all three sources and must be DROPPED by the hot-shingle cap (=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x1 x2 x3 x4"),
+            (2, "a", "bp bp bp"),
+            (3, "b", "x1 x2 x3 x4 zz"),
+            (4, "b", "bp bp bp"),
+            (5, "c", "c1 c2 c3 c4"),
+            (6, "c", "bp bp bp"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = mirror_pairs(docs, n=3, min_shared=1, max_gram_sources=2).collect()
+    assert [(r["source_a"], r["source_b"], r["shared_grams"]) for r in out] == [
+        ("a", "b", 2)
+    ]
+    # totals are UNCAPPED gram counts: a has 3 (2 content + bp), b has 4
+    # -> floor(10000 * 2 / 3) = 6666
+    assert out[0]["containment_bp"] == 6666
+
+    # cap raised to 3: the boilerplate shingle now participates and
+    # links every pair (BETWEEN bounds are inclusive)
+    out3 = mirror_pairs(docs, n=3, min_shared=1, max_gram_sources=3)
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_grams"] for r in out3.collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_collapse_mirrors_drops_larger_host_broadcast(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from crawler_spark.operators.mirrors import collapse_mirrors
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 50, 9000)],
+        "source_a string, source_b string, shared_grams long, containment_bp long",
+    )
+    frontier = spark.createDataFrame(
+        [("a", "u1"), ("b", "u2"), ("c", "u3")], "host string, url string"
+    )
+    out = collapse_mirrors(frontier, pairs)
+    assert sorted(r["url"] for r in out.collect()) == ["u1", "u3"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -372,3 +372,15 @@ def test_cluster_canonical_keeper_is_aggregate_not_window(spark, sf_dir):
         or "ObjectHashAggregate" in plan
         or "HashAggregate" in plan
     ), plan
+
+
+def test_mirror_hosts_no_cartesian_broadcast_totals(spark, sf_dir):
+    """Mirror detection self-joins ONLY on the shingle hash (equi-join,
+    never a cartesian over sources), and the O(sources) totals table
+    broadcasts back for the containment score instead of re-shuffling
+    the pair table."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_mirror_hosts(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
