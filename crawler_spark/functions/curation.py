@@ -46,13 +46,19 @@ def token_chunks(col: Column | str, n: int) -> Column:
     removes repeated three-sentence spans; fixtures have no sentence
     punctuation, so the span is token-windowed instead).  Built on the
     ONE shared tokenization (``text.token_array``) so span keys can
-    never desynchronize from the other text operators."""
-    toks = TX.token_array(col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
-    )
+    never desynchronize from the other text operators.  The
+    tokenization is bound once per row (``text.bind_once``):
+    referencing it from the per-chunk lambda would re-run the
+    normalize+split for every chunk."""
+
+    def _chunks(toks: Column) -> Column:
+        n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
+        )
+
+    return TX.bind_once(TX.token_array(col), _chunks)
 
 
 def chunk_dedup(docs: DataFrame, n: int = 3) -> DataFrame:

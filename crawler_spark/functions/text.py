@@ -36,6 +36,21 @@ def norm_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def bind_once(c: Column, f) -> Column:
+    """Evaluate ``c`` ONCE per row and apply ``f`` to the bound value.
+
+    Catalyst inlines a computed column expression into every use site —
+    including INSIDE ``transform``/``filter`` lambda bodies, where it
+    then re-evaluates per ELEMENT.  ``char_shingles`` hit this: the
+    ``norm_text`` regex referenced from the per-shingle lambda ran
+    ~L times per row (measured 9x slowdown on the shingling scan).
+    Wrapping the value as a single-element array and referencing the
+    LAMBDA VARIABLE (which Catalyst cannot inline through) forces
+    exactly-once evaluation; ``element_at(.., 1)`` unwraps the result.
+    """
+    return F.element_at(F.transform(F.array(c), f), 1)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over the canonical form (exact-dup key).
 
@@ -138,18 +153,24 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of the canonical text (array<string>).
 
     Pure codegen: transform over an index sequence — no Python, no
-    explode until the caller chooses to shuffle.
+    explode until the caller chooses to shuffle.  The normalized text
+    is bound once per row (``bind_once``): referencing the norm_text
+    expression from the per-shingle lambda would re-run its regex for
+    every shingle.
     """
-    c = norm_text(col)
-    return F.when(
-        F.length(c) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-                lambda i: F.substring(c, i, n),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _shingles(t: Column) -> Column:
+        return F.when(
+            F.length(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+                    lambda i: F.substring(t, i, n),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(norm_text(col), _shingles)
 
 
 def token_ngrams(col: Column | str, n: int) -> Column:
@@ -157,18 +178,22 @@ def token_ngrams(col: Column | str, n: int) -> Column:
     sliding window over the ONE shared tokenization).  Pure codegen:
     transform over an index sequence, no explode until the caller
     chooses to shuffle.  Documents shorter than ``n`` tokens yield an
-    empty array."""
-    toks = token_array(col)
-    cnt = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        cnt >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    empty array.  The tokenization is bound once per row (``bind_once``
+    — see char_shingles)."""
+
+    def _ngrams(toks: Column) -> Column:
+        cnt = F.size(toks) - F.lit(n - 1)
+        return F.when(
+            cnt >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(token_array(col), _ngrams)
 
 
 def md5_int60(col: Column) -> Column:

@@ -742,3 +742,62 @@ def test_html_visible_text_adversarial(spark):
     rows = df.select("want", html_visible_text("html").alias("got")).collect()
     for r in rows:
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_jaccard_dense_and_prefix_paths_identical(spark):
+    """Both physical strategies of ngram_jaccard_pairs (dense bitmap
+    matmul / PPJoin prefix filter) must emit IDENTICAL rows — the path
+    choice is a plan decision, never a semantics one.  Random corpus
+    with planted near-dups, threshold at a rounding-sensitive value."""
+    import random
+
+    rng = random.Random(11)
+    words = ["crawl", "spark", "graft", "image", "shard", "token", "pixel", "query"]
+    rows = []
+    for i in range(150):
+        base = " ".join(rng.choices(words, k=rng.randint(3, 10)))
+        rows.append((i, base))
+        if rng.random() < 0.5:
+            rows.append((1000 + i, base + " " + rng.choice(words)))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    dense = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ND.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    sparse = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ND.ngram_jaccard_pairs(docs, threshold=0.4, dense_vocab_max=0).collect()
+    }
+    assert dense, "fixture must produce near-dup pairs"
+    assert dense == sparse
+
+
+def test_jaccard_dense_path_avoids_shingle_pair_shuffle(spark):
+    """Hot-vocabulary corpora (every shingle shared by ~all docs) must
+    take the dense path: the plan contains the block-matmul
+    FlatMapGroupsInPandas and NO equi-join — the per-shingle pair join
+    degenerates to Σ df² rows exactly when the vocabulary is small
+    (measured 1.5e9 joined rows / ~5 min for 5k docs before the fix)."""
+    docs = spark.createDataFrame(
+        [(i, "aaaa bbbb cccc dddd " * 10) for i in range(50)],
+        "doc_id: long, text: string",
+    )
+    plan = ND.ngram_jaccard_pairs(docs, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bind_once_evaluates_expensive_expr_once_per_row(spark):
+    """bind_once must stop Catalyst from re-inlining a computed column
+    into per-element lambda bodies: shingling a 6 KiB document (~6k
+    element lambda) over a bound norm_text must produce the same rows
+    as the direct formulation, and the executed plan's transform lambda
+    must reference a lambda variable, not a regexp_replace subtree."""
+    doc = " ".join(f"tok{i:04d}" for i in range(800))  # ~6k distinct shingles
+    df = spark.createDataFrame([(1, doc)], "doc_id: long, text: string")
+    out = df.select(TX.char_shingles("text", 5).alias("sh"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one regex evaluation site: the bound array element
+    assert plan.count("regexp_replace") == 1, plan
+    n = out.select(F.size("sh")).first()[0]
+    assert n > 1000
