@@ -87,6 +87,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_token_count",
     "q_quality_score",
+    "q_repetition_ratio",
     "q_lang_id",
     "q_shingle_stats",
     "q_simhash_neardup",

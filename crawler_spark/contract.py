@@ -1243,6 +1243,61 @@ def q_bigram_topk(spark, sf):
     )
 
 
+def q_repetition_ratio(spark, sf):
+    """Within-document repetition signals — the Gopher/MassiveText
+    repetition-filter family (templated spam and keyword-stuffed pages
+    are repetitive; prose is not):
+
+    - ``dup_token_per_mille``: fraction of tokens that repeat an
+      earlier token, exact integer per-mille.  Array-local
+      (size/array_distinct), zero shuffle — at 100 TB this is a pure
+      map over the scan.
+    - ``top_bigram_n`` / ``top_bigram_per_mille``: the most frequent
+      token bigram's count and its share of all bigram slots.  Bigram
+      frequency genuinely needs a per-(doc, bigram) count, so this
+      half shuffles ONCE on (doc_id, bigram) — map-side combined, keys
+      are (int64, short string), no text column in the shuffle — then
+      one per-doc max+sum re-aggregate on doc_id.
+
+    Documents with <2 tokens have no bigrams: LEFT join + coalesce(0)
+    keeps them (a one-word doc is not "repetitive").  All scores are
+    integer (div semantics) for bit-identical cross-engine equality.
+    Reference grounding: extends the scalar-extraction layer of
+    otodom/commons/extensions.go:10-22 to corpus curation (graft
+    brief), like the rest of the text-quality family."""
+    docs = _t(spark, sf, "documents")
+    rep = TX.repetition_stats("text")
+    stats = docs.select(
+        "doc_id",
+        rep["n_tokens"].alias("n_tokens"),
+        rep["dup_token_per_mille"].alias("dup_token_per_mille"),
+    )
+    per_doc_bigram = (
+        docs.select(
+            "doc_id", F.explode(TX.token_ngrams_all("text", 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_bigram_n"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    return stats.join(per_doc_bigram, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_per_mille",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long").alias("top_bigram_n"),
+        F.coalesce(
+            F.floor((F.lit(1000) * F.col("top_bigram_n")) / F.col("n_bigrams")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("top_bigram_per_mille"),
+    )
+
+
 def q_lm_score(spark, sf):
     """Unigram-LM document quality score — mean ln(p(token)) under the
     corpus's own unigram distribution, the classic cheap LM filter for
@@ -2010,6 +2065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_heavy_hitters": q_heavy_hitters,
     "q_bigram_topk": q_bigram_topk,
+    "q_repetition_ratio": q_repetition_ratio,
     "q_lm_score": q_lm_score,
     "q_tfidf_topk": q_tfidf_topk,
     "q_train_split": q_train_split,
@@ -2940,6 +2996,25 @@ ORACLES: dict[str, str] = {
                       AS BIGINT) AS rn
           FROM b GROUP BY bigram)
         WHERE rn <= 20
+    """,
+    "q_repetition_ratio": f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(l) AS BIGINT) AS n_tokens,
+                     CAST((1000 * (len(l) - len(list_distinct(l)))) // len(l)
+                          AS BIGINT) AS dup_token_per_mille
+              FROM t),
+        b AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(l) - 1, 0)),
+                i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t),
+        c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        a AS (SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+              FROM c GROUP BY doc_id)
+        SELECT s.doc_id, s.n_tokens, s.dup_token_per_mille,
+               CAST(coalesce(a.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+               CAST(coalesce((1000 * a.top_bigram_n) // a.n_bigrams, 0)
+                    AS BIGINT) AS top_bigram_per_mille
+        FROM s LEFT JOIN a USING (doc_id)
     """,
     "q_lm_score": f"""
         WITH t2 AS (

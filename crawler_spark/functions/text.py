@@ -196,6 +196,51 @@ def token_ngrams(col: Column | str, n: int) -> Column:
     return bind_once(token_array(col), _ngrams)
 
 
+def token_ngrams_all(col: Column | str, n: int) -> Column:
+    """ALL token ``n``-grams (duplicates kept, document order) of the
+    canonical text — the counting companion of :func:`token_ngrams`
+    (which dedups for set-overlap use).  Needed wherever n-gram
+    FREQUENCY matters (within-doc repetition ratios); same shared
+    tokenization, same bind-once discipline, same empty-array result
+    for documents shorter than ``n`` tokens."""
+
+    def _ngrams(toks: Column) -> Column:
+        cnt = F.size(toks) - F.lit(n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(token_array(col), _ngrams)
+
+
+def repetition_stats(col: Column | str) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition-filter family) as exact-integer columns:
+
+    - ``n_tokens``        — shared-tokenization token count;
+    - ``dup_token_per_mille`` — ``1000*(n_tokens - n_distinct) div
+      n_tokens``: the fraction of tokens that are repeats of an earlier
+      token, in integer per-mille (array-local, zero shuffle);
+
+    Integer ``div`` keeps the scores bit-identical across engines (the
+    same discipline as quality_score's basis points).  The top-n-gram
+    dominance half of the filter family needs per-doc frequency — that
+    is a grouped count over :func:`token_ngrams_all`, left to the
+    caller because it (correctly) shuffles.
+    """
+    toks = token_array(col)
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    return {
+        "n_tokens": n,
+        "dup_token_per_mille": F.floor((F.lit(1000) * (n - d)) / n).cast("long"),
+    }
+
+
 def md5_int60(col: Column) -> Column:
     """Portable 60-bit integer hash: the first 15 hex digits of md5 as a
     non-negative int64.  Bit-identical in any engine with md5 + hex

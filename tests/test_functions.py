@@ -801,3 +801,32 @@ def test_bind_once_evaluates_expensive_expr_once_per_row(spark):
     assert plan.count("regexp_replace") == 1, plan
     n = out.select(F.size("sh")).first()[0]
     assert n > 1000
+
+
+def test_repetition_stats_pinned_values(spark):
+    """Pin the repetition-signal arithmetic on hand-computed docs:
+    dup_token_per_mille = 1000*(n - n_distinct) div n over the shared
+    tokenization; token_ngrams_all keeps duplicate bigrams in order."""
+    rows = [
+        (0, "spam spam spam spam"),            # 4 tokens, 1 distinct -> 750
+        (1, "all words here are unique"),      # 5 tokens, 0 dups -> 0
+        (2, "a b a b a b"),                    # 6 tokens, 2 distinct -> 666
+        (3, "solo"),                           # 1 token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    rep = TX.repetition_stats("text")
+    got = {
+        r["doc_id"]: (r["n"], r["dup"])
+        for r in df.select(
+            "doc_id", rep["n_tokens"].alias("n"), rep["dup_token_per_mille"].alias("dup")
+        ).collect()
+    }
+    assert got == {0: (4, 750), 1: (5, 0), 2: (6, 666), 3: (1, 0)}
+
+    bigrams = {
+        r["doc_id"]: r["bg"]
+        for r in df.select("doc_id", TX.token_ngrams_all("text", 2).alias("bg")).collect()
+    }
+    assert bigrams[0] == ["spam spam"] * 3          # duplicates KEPT
+    assert bigrams[2] == ["a b", "b a", "a b", "b a", "a b"]
+    assert bigrams[3] == []                          # <2 tokens -> empty
