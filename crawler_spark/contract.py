@@ -1413,6 +1413,24 @@ def q_minhash_neardup(spark, sf):
     )
 
 
+def q_incremental_neardup(spark, sf):
+    """Incremental near-dup probe: which docs of a new crawl increment
+    (doc_id % 5 = 0) near-duplicate an already-indexed corpus doc
+    (doc_id % 5 <> 0) — the per-round dedup shape at 100 TB, where the
+    corpus MinHash index persists and only the delta is signatured.
+    Cross-set LSH band join (increment side broadcast) + exact-Jaccard
+    verification; portable md5-int60 hashes, so the DuckDB oracle
+    replays signatures, cross-set band candidates, and verification
+    bit-for-bit."""
+    docs = _t(spark, sf, "documents")
+    return ND.incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.4,
+        hash_fn=TX.md5_int60,
+    )
+
+
 def q_simhash_neardup(spark, sf):
     """SimHash signatures + Hamming≤3 pairs.  Portable md5-int60 token
     hashes; the oracle brute-forces all pairs — valid because banding
@@ -2073,6 +2091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_clusters": q_dup_clusters,
     "q_neardup_dedup": q_neardup_dedup,
     "q_minhash_neardup": q_minhash_neardup,
+    "q_incremental_neardup": q_incremental_neardup,
     "q_simhash_neardup": q_simhash_neardup,
     "q_rolling_fingerprint": q_rolling_fingerprint,
     "q_embedding_topk": q_embedding_topk,
@@ -3321,6 +3340,43 @@ ORACLES: dict[str, str] = {
           JOIN shl sa ON sa.doc_id = i.a
           JOIN shl sb ON sb.doc_id = i.b)
         SELECT a, b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+    "q_incremental_neardup": f"""
+        WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES} AS grams FROM docs),
+        shl AS (
+          SELECT doc_id, cast(len(grams) AS BIGINT) AS n_sh,
+                 list_transform(grams, s -> {_md5i("s")}) AS hs
+          FROM sh),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN {_MH_MAXSIG}
+                 ELSE list_transform({_MH_PARAMS}, p ->
+                   CAST(list_min(list_transform(hs, h ->
+                     CAST((CAST(p[1] AS HUGEINT) * h + CAST(p[2] AS HUGEINT))
+                          % 2305843009213693951 AS BIGINT))) AS BIGINT))
+                 END AS sig
+          FROM shl),
+        cand AS (
+          SELECT y.doc_id AS new_id, x.doc_id AS corpus_id
+          FROM sigs x JOIN sigs y
+            ON x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          WHERE {_MH_BAND_EQ}),
+        ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        inter AS (
+          SELECT c.new_id, c.corpus_id, count(*) AS inter
+          FROM cand c
+          JOIN ex x ON x.doc_id = c.new_id
+          JOIN ex y ON y.doc_id = c.corpus_id AND y.g = x.g
+          GROUP BY 1, 2),
+        j AS (
+          SELECT i.new_id, i.corpus_id,
+                 round(cast(i.inter AS DOUBLE)
+                       / cast(sa.n_sh + sb.n_sh - i.inter AS DOUBLE), 4) AS jaccard
+          FROM inter i
+          JOIN shl sa ON sa.doc_id = i.new_id
+          JOIN shl sb ON sb.doc_id = i.corpus_id)
+        SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.4
     """,
     # brute-force all-pairs oracle: valid because the Spark plan's
     # banding is EXACT (pigeonhole: hamming≤3 ⇒ one of 4 16-bit bands

@@ -337,20 +337,7 @@ def lsh_candidate_pairs(
     """Band the signature (bands × rows = k), bucket by band hash, emit
     distinct candidate pairs (a < b).  The band hash is xxhash64 over
     the band's slice serialized to a string — JVM-side."""
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", i * rows + 1, rows))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(signatures, bands, rows, id_col)
     return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -421,6 +408,112 @@ def minhash_neardup_pairs(
     verified.count()
     sh.unpersist()
     return verified
+
+
+def incremental_neardup_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.4,
+    seed: int = 42,
+    hash_fn=None,
+) -> DataFrame:
+    """Cross-set near-dup probe: which INCREMENT docs near-duplicate an
+    already-indexed CORPUS doc — the per-crawl-round dedup shape at
+    100 TB, where the corpus side is a persisted MinHash index that is
+    NEVER recomputed and each round only signatures its delta (the
+    dedup analogue of the engine's incremental frontier delta log,
+    sinks/__init__.py).  Reference grounding: ON CONFLICT DO NOTHING
+    (commons/Entry.go:37) is the reference's new-vs-seen write
+    predicate; this is its near-duplicate generalization.
+
+    Same banding + exact-verify contract as
+    :func:`minhash_neardup_pairs` (no false positives; recall from the
+    banding curve), but the band join is increment⋈corpus instead of a
+    self-join: the increment's banded keys are BROADCAST (a crawl
+    round's delta is small next to the corpus index), so the corpus
+    side is a map-side probe — no corpus shuffle.  Verification
+    explodes shingles only for docs that appear in a candidate pair
+    (left_semi pushdown on both sides).
+
+    Returns (new_id, corpus_id, jaccard) with jaccard ≥ threshold.
+    """
+    sh_c = shingle_hashes(corpus, id_col, text_col, n, hash_fn=hash_fn).persist()
+    sh_i = shingle_hashes(increment, id_col, text_col, n, hash_fn=hash_fn).persist()
+    band_c = _banded(minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col)
+    band_i = _banded(minhash_signatures(sh_i, k, seed, id_col), bands, rows, id_col)
+    cand = (
+        band_c.alias("c")
+        .join(F.broadcast(band_i.alias("i")), ["band", "bucket"])
+        .select(
+            F.col(f"i.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sizes_i = sh_i.select(
+        F.col(id_col).alias("new_id"), F.size("shingle_hashes").cast("long").alias("n_i")
+    )
+    sizes_c = sh_c.select(
+        F.col(id_col).alias("corpus_id"),
+        F.size("shingle_hashes").cast("long").alias("n_c"),
+    )
+    ex_i = sh_i.select(F.col(id_col).alias("new_id"), F.explode("shingle_hashes").alias("sh")).join(
+        cand.select("new_id").distinct(), "new_id", "left_semi"
+    )
+    ex_c = sh_c.select(
+        F.col(id_col).alias("corpus_id"), F.explode("shingle_hashes").alias("sh")
+    ).join(cand.select("corpus_id").distinct(), "corpus_id", "left_semi")
+    inter = (
+        ex_i.join(ex_c, "sh")
+        .join(cand, ["new_id", "corpus_id"], "left_semi")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes_i, "new_id")
+        .join(sizes_c, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_i") + F.col("n_c") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    verified = verified.persist()
+    verified.count()
+    sh_c.unpersist()
+    sh_i.unpersist()
+    return verified
+
+
+def _banded(
+    signatures: DataFrame, bands: int, rows: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket) banded signature keys — the LSH index rows."""
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", i * rows + 1, rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
 
 
 # --------------------------------------------------------------- simhash

@@ -830,3 +830,43 @@ def test_repetition_stats_pinned_values(spark):
     assert bigrams[0] == ["spam spam"] * 3          # duplicates KEPT
     assert bigrams[2] == ["a b", "b a", "a b", "b a", "a b"]
     assert bigrams[3] == []                          # <2 tokens -> empty
+
+
+def test_incremental_neardup_probe_cross_set_only(spark):
+    """The incremental probe must report ONLY (increment x corpus)
+    near-dups: corpus-corpus duplicates stay silent (they are the
+    index's business), novel increment docs produce nothing, and an
+    increment doc near-duplicating a corpus doc is found with the
+    same exact-verified jaccard the self-join pipeline reports."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the crowd cheers for more of the same old song and dance routine"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated corpus text about parquet row groups")],
+        "doc_id: long, text: string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (10, base.replace("crowd", "audience")),   # near-dup of 1 and 2
+            (11, "completely novel text about watermark state eviction"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in ND.incremental_neardup_pairs(
+            corpus, increment, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {(10, 1), (10, 2)}          # cross-set only; 1-2 dup silent
+    assert got[(10, 1)] == got[(10, 2)]            # identical corpus texts
+    assert 0.5 <= got[(10, 1)] < 1.0
+    # agrees with the self-join pipeline's exact-verified jaccard
+    self_pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ND.minhash_neardup_pairs(
+            corpus.union(increment), threshold=0.5
+        ).collect()
+    }
+    assert self_pairs[(1, 10)] == got[(10, 1)]
