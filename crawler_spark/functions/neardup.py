@@ -123,7 +123,13 @@ def ngram_jaccard_pairs(
     quadratic by construction): `minhash_neardup_pairs` is the scale
     path, with this kernel as its per-bucket verifier.
     """
-    sh = shingle_hashes(docs, id_col, text_col, n, hash_fn=hash_fn)
+    # Persist the shingled frame: the stats probe AND the chosen path
+    # both consume it (the probe alone re-ran the whole shingling scan
+    # — measured ~4 s of the 11.5 s exact-pairs wall at sf0.1).  The
+    # probe's collect() populates the cache eagerly; the pair result is
+    # materialized below so the cache can be released before returning
+    # (same lifecycle as minhash_neardup_pairs).
+    sh = shingle_hashes(docs, id_col, text_col, n, hash_fn=hash_fn).persist()
     exploded = sh.select(F.col(id_col), F.explode("shingle_hashes").alias("sh"))
     id_integral = dict(docs.select(id_col).dtypes)[id_col] in (
         "tinyint",
@@ -131,6 +137,7 @@ def ngram_jaccard_pairs(
         "int",
         "bigint",
     )
+    pairs = None
     if id_integral:
         # one bounded stats pass: distinct-with-limit collects at most
         # cap+1 hashes (driver-safe for any corpus; a huge vocabulary
@@ -139,11 +146,16 @@ def ngram_jaccard_pairs(
             exploded.select("sh").distinct().limit(dense_vocab_max + 1).collect()
         )
         if len(probe) <= dense_vocab_max:
-            n_docs = docs.count()
+            n_docs = sh.count()
             if n_docs <= dense_docs_max:
                 vocab = np.sort(np.array([r[0] for r in probe], dtype=np.int64))
-                return _jaccard_pairs_dense(sh, id_col, threshold, vocab, n_docs)
-    return _jaccard_pairs_prefix(sh, exploded, id_col, threshold)
+                pairs = _jaccard_pairs_dense(sh, id_col, threshold, vocab, n_docs)
+    if pairs is None:
+        pairs = _jaccard_pairs_prefix(sh, exploded, id_col, threshold)
+    pairs = pairs.persist()
+    pairs.count()
+    sh.unpersist()
+    return pairs
 
 
 def _jaccard_pairs_prefix(
