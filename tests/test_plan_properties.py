@@ -384,3 +384,35 @@ def test_mirror_hosts_no_cartesian_broadcast_totals(spark, sf_dir):
     plan = _plan(C.q_mirror_hosts(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_ratio_pruned_scan_bounded_shuffles(spark, sf_dir):
+    """q_repetition_ratio reads ONLY (doc_id, text) from documents; the
+    dup-token half is array-local (no shuffle of its own), so the whole
+    plan carries at most the (doc_id,bigram) count, the per-doc
+    re-aggregate, and the join-back — and the bigram construction must
+    stay inside the array (no posexplode self-join)."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_repetition_ratio(spark, sf_dir))
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+            assert set(cols) <= {"doc_id", "text"}, line
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_incremental_neardup_broadcasts_the_delta(spark, sf_dir):
+    """The incremental probe's band join must BROADCAST the increment
+    side (a crawl round's delta is small next to the corpus index) —
+    the corpus banded keys are probed map-side, never shuffled into a
+    sort-merge join against the delta."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_incremental_neardup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
