@@ -15,8 +15,10 @@ a 100 TB corpus scan:
   skewed window partition.  Only the final per-doc re-assembly
   shuffles text, and it moves each doc's SURVIVING spans exactly once.
 * ``boilerplate_lines`` aggregates (host, line) doc frequencies with
-  partial aggregation and broadcasts the per-host page counts (one row
-  per host) back onto the frequency table.
+  partial aggregation and joins the per-host page counts (one row per
+  host — unbounded at web scale, so the join is NOT force-broadcast;
+  AQE picks broadcast at runtime when the host list actually is small)
+  back onto the frequency table.
 * ``pii_scrub`` is a single narrow projection (regexp_extract_all +
   regexp_replace), zero shuffles.
 * ``source_quality`` computes per-source means with a combiner-backed
@@ -144,8 +146,14 @@ def boilerplate_lines(
     page_counts = pages.select(
         F.col(host_col).alias("host"), F.col(page_col).alias("page_id")
     ).groupBy("host").agg(F.countDistinct("page_id").alias("n_pages"))
+    # NO forced broadcast: page_counts is one row PER HOST — bounded by
+    # nothing on a real crawl (10^8 hosts ≈ GBs), unlike the per-SOURCE
+    # means in source_quality (a curated, small list).  AQE still
+    # converts this to a broadcast join at runtime whenever the
+    # aggregate actually is small; forcing it would OOM the driver at
+    # web scale.
     return (
-        df_counts.join(F.broadcast(page_counts), "host")
+        df_counts.join(page_counts, "host")
         .filter(F.col("df") * den >= F.col("n_pages") * num)
         .select("host", "line", "df", "n_pages")
     )
