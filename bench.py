@@ -38,6 +38,7 @@ HEADLINE = [
     "q_group_collect",
     "q_metrics_counts",
     "q_anti_join_dedup",
+    "q_cuckoo_dedup",
     "q_order_by",
     "q_host_budget_topk",
     "q_sessionize",

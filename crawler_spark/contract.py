@@ -452,6 +452,28 @@ def q_anti_join_dedup(spark, sf):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def q_cuckoo_dedup(spark, sf):
+    """U2/F4 cuckoo arm — the deletable URL-seen prefilter end-to-end:
+    fold the seen set into partitioned cuckoo state, un-see a stale
+    subset (recrawl invalidation, the operation the Bloom arm cannot
+    do), then exact-verified anti-join.  The filter never changes
+    semantics, so the oracle is plain SQL (operators/dedup_cuckoo.py).
+    """
+    from .operators import dedup_cuckoo as DC
+
+    cand = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    cand = cand.withColumn("url_hash", F.col("c_custkey"))
+    seen = _t(spark, sf, "orders").select(F.col("o_custkey").alias("url_hash")).distinct()
+    empty = spark.createDataFrame([], DC.FILTER_STATE_SCHEMA)
+    state = DC.update_seen_filters(empty, seen, n_parts=8)
+    stale = seen.filter(F.col("url_hash") % 10 == 0)
+    state = DC.delete_keys(state, stale, n_parts=8)
+    live = seen.join(stale, "url_hash", "left_anti")
+    return DC.anti_join_seen_partitioned(cand, live, state, n_parts=8).select(
+        "c_custkey", "c_name"
+    )
+
+
 def q_filter_nonempty(spark, sf):
     """F1-F3 — skip empty-keyed / nil batches (orchestrator:101-112)."""
     return (
@@ -2033,6 +2055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_metrics_counts": q_metrics_counts,
     "q_union_all": q_union_all,
     "q_anti_join_dedup": q_anti_join_dedup,
+    "q_cuckoo_dedup": q_cuckoo_dedup,
     "q_filter_nonempty": q_filter_nonempty,
     "q_order_by": q_order_by,
     "q_host_budget_topk": q_host_budget_topk,
@@ -2299,6 +2322,13 @@ ORACLES: dict[str, str] = {
     "q_anti_join_dedup": """
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_cuckoo_dedup": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_custkey % 10 <> 0
+        )
     """,
     "q_filter_nonempty": (
         "SELECT event_id, event_type FROM events WHERE event_type IS NOT NULL"

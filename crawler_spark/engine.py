@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from . import schemas as S
 from .canon import with_url_identity
 from .operators import dedup as D
+from .operators import dedup_cuckoo as DC
 from .operators import fetch as FE
 from .operators import frontier as FR
 from .operators import politeness as P
@@ -92,6 +93,10 @@ class CrawlConfig:
     # frontier delta log: full-snapshot compaction cadence (rounds)
     frontier_compact_every: int = 8
     use_bloom: bool = True
+    # "bloom" (operators/dedup.py) or "cuckoo" (operators/dedup_cuckoo.py,
+    # deletable fingerprints — recrawl invalidation without state rebuild).
+    # Same three-name contract; semantics identical (exact-verified).
+    filter_kind: str = "bloom"
     bloom_parts: int = 64
     bloom_min_keys: int = 500_000  # below this the plain anti-join is cheaper
     cache_web: bool = True
@@ -309,7 +314,15 @@ class CrawlEngine:
         # FULL seen set into a clean state below (dedup.py drops the
         # mismatched blobs).
         stored_parts = prev_stats.get("filters_parts")
-        state_valid = stored_parts is not None and int(stored_parts) == cfg.bloom_parts
+        # kind mismatch (bloom blobs probed as cuckoo tables or vice versa)
+        # is as corrupting as a parts mismatch — same rebuild path.
+        stored_kind = prev_stats.get("filters_kind", "bloom")
+        FK = D if cfg.filter_kind == "bloom" else DC
+        state_valid = (
+            stored_parts is not None
+            and int(stored_parts) == cfg.bloom_parts
+            and stored_kind == cfg.filter_kind
+        )
         use_filters = (
             cfg.use_bloom and seen_count_prev >= cfg.bloom_min_keys and state_valid
         )
@@ -318,8 +331,8 @@ class CrawlEngine:
             # by a separate exact delta anti-join (see dedup.py docstring —
             # probing seen_all against stale blobs double-fetches same-round
             # collisions).
-            filters = st.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
-            fresh = D.anti_join_seen_with_delta(
+            filters = st.read("seen_filters", FK.FILTER_STATE_SCHEMA, rewrite=True)
+            fresh = FK.anti_join_seen_with_delta(
                 exp_allowed, seen_prev, new_seen, filters, cfg.bloom_parts
             )
         else:
@@ -462,10 +475,14 @@ class CrawlEngine:
             # folds the whole seen set once; after that only new keys).
             # use_filters=False here also covers the n_parts-mismatch
             # rebuild: the full seen set is refolded into clean state.
-            filters_prev = st.read("seen_filters", D.FILTER_STATE_SCHEMA, rewrite=True)
+            filters_prev = st.read("seen_filters", FK.FILTER_STATE_SCHEMA, rewrite=True)
+            if stored_kind != cfg.filter_kind:
+                # other-kind blobs share n_parts, so the update fold would
+                # keep (and corrupt) them — rebuild from clean state
+                filters_prev = filters_prev.limit(0)
             fold_in = new_seen if use_filters else seen_all
             writes.append(
-                ("seen_filters", D.update_seen_filters(filters_prev, fold_in, cfg.bloom_parts), 1)
+                ("seen_filters", FK.update_seen_filters(filters_prev, fold_in, cfg.bloom_parts), 1)
             )
             wrote_filters = True
         def _timed_write(table, df, n):
@@ -536,6 +553,7 @@ class CrawlEngine:
                 "dispatched": n_dispatched,
                 "seen_count": seen_count_prev + n_ok,
                 "filters_parts": cfg.bloom_parts if wrote_filters else stored_parts,
+                "filters_kind": cfg.filter_kind if wrote_filters else stored_kind,
                 "head_rows": n_head,
                 "head_k": head_k,
             },

@@ -310,3 +310,67 @@ def test_checkpoint_resume_equivalence(spark, fixture_paths, tmp_path, full_run)
     engine2.run(resume=True)
     assert _spark_outputs(store) == _spark_outputs(full_store)
     assert store.read("results").count() == full_store.read("results").count()
+
+
+def test_cuckoo_filter_path_equivalence(spark, fixture_paths, tmp_path, full_run, golden):
+    """filter_kind="cuckoo" engaged from round 1 produces the identical
+    dispatch log and URL-seen set as the default run — the north rule
+    names "bloom/cuckoo URL-seen" and both arms are exact-verified."""
+    full_store, _ = full_run
+    cfg = CrawlConfig(
+        base_budget=BUDGET,
+        max_rounds=MAX_ROUNDS,
+        filter_kind="cuckoo",
+        bloom_min_keys=1,
+        bloom_parts=8,
+        frontier_compact_every=3,
+    )
+    store, engine = _make_engine(spark, fixture_paths, str(tmp_path / "cuckoo"), cfg)
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert _spark_outputs(store) == _spark_outputs(full_store)
+    from crawler_spark.operators import dedup_cuckoo as DC
+
+    st = store.read("seen_filters", DC.FILTER_STATE_SCHEMA, rewrite=True)
+    assert st.count() > 0
+    assert sum(r["n_keys"] for r in st.collect()) == len(golden.seen)
+
+
+def test_filter_kind_switch_rebuilds_state(spark, fixture_paths, tmp_path, full_run):
+    """Resume a bloom-state crawl with filter_kind="cuckoo": the other-
+    kind blobs must be invalidated (probing bloom bitsets as cuckoo
+    tables would corrupt dedup), the full seen set refolded into clean
+    cuckoo state, and the final outputs stay identical."""
+    full_store, _ = full_run
+    root = str(tmp_path / "switch")
+    store, engine = _make_engine(
+        spark,
+        fixture_paths,
+        root,
+        CrawlConfig(
+            base_budget=BUDGET, max_rounds=2, bloom_min_keys=1, bloom_parts=8
+        ),
+    )
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert store.committed()["stats"]["filters_kind"] == "bloom"
+
+    _, engine2 = _make_engine(
+        spark,
+        fixture_paths,
+        root,
+        CrawlConfig(
+            base_budget=BUDGET,
+            max_rounds=MAX_ROUNDS,
+            filter_kind="cuckoo",
+            bloom_min_keys=1,
+            bloom_parts=8,
+        ),
+    )
+    engine2.run(resume=True)
+    assert store.committed()["stats"]["filters_kind"] == "cuckoo"
+    assert _spark_outputs(store) == _spark_outputs(full_store)
+    # the rebuilt state is complete cuckoo state covering the whole seen set
+    from crawler_spark.operators import dedup_cuckoo as DC
+
+    st = store.read("seen_filters", DC.FILTER_STATE_SCHEMA, rewrite=True)
+    seen_n = store.read("url_seen", S.URL_SEEN).count()
+    assert sum(r["n_keys"] for r in st.collect()) == seen_n

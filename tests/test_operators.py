@@ -435,3 +435,152 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_buckets >= 12, "200 hashed rows should hit most of 16 salt buckets"
+
+
+# =====================================================================
+# Cuckoo-filter seen-set arm (operators/dedup_cuckoo.py) — the same
+# battery as the Bloom arm above, plus deletion (the cuckoo-only op)
+# =====================================================================
+import numpy as np
+
+from crawler_spark.operators import dedup_cuckoo as DC
+
+
+def test_cuckoo_incremental_state_equivalence(spark):
+    state = spark.createDataFrame([], DC.FILTER_STATE_SCHEMA)
+    seen_batches = [
+        spark.range(0, 3000, 3).select(F.col("id").alias("url_hash")),
+        spark.range(1, 3000, 3).select(F.col("id").alias("url_hash")),
+    ]
+    seen_all = seen_batches[0].unionByName(seen_batches[1])
+    for b in seen_batches:
+        state = DC.update_seen_filters(state, b, n_parts=8)
+    state = state.persist()
+    assert state.count() >= 8
+    cands = spark.range(0, 3000).select(
+        F.col("id").alias("url_hash"), (F.col("id") * 7).alias("payload")
+    )
+    got = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_partitioned(cands, seen_all, state, n_parts=8).collect()
+    )
+    assert got == list(range(2, 3000, 3))
+    state.unpersist()
+
+
+def test_cuckoo_epoch_growth(spark):
+    state = spark.createDataFrame([], DC.FILTER_STATE_SCHEMA)
+    for lo in range(0, 30000, 10000):
+        batch = spark.range(lo, lo + 10000).select(F.col("id").alias("url_hash"))
+        state = DC.update_seen_filters(state, batch, n_parts=2).persist()
+        state.count()
+    rows = state.collect()
+    assert {r["part_id"] for r in rows} == {0, 1}
+    assert sum(r["n_keys"] for r in rows) == 30000
+    seen = spark.range(0, 30000).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 40000).select(F.col("id").alias("url_hash"))
+    got = DC.anti_join_seen_partitioned(cands, seen, state, n_parts=2).count()
+    assert got == 10000
+    state.unpersist()
+
+
+def test_cuckoo_same_round_collision_not_refetched(spark):
+    seen_prev = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+    state = DC.update_seen_filters(
+        spark.createDataFrame([], DC.FILTER_STATE_SCHEMA), seen_prev, n_parts=4
+    ).persist()
+    state.count()
+    new_seen = spark.createDataFrame([(1001,), (1003,), (1005,)], "url_hash: long")
+    cands = spark.createDataFrame(
+        [(1001,), (1003,), (4,), (7,)], "url_hash: long"
+    ).withColumn("payload", F.col("url_hash") * 2)
+    got = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_with_delta(
+            cands, seen_prev, new_seen, state, n_parts=4
+        ).collect()
+    )
+    assert got == [7]
+    state.unpersist()
+
+
+def test_cuckoo_absent_state_degrades_to_exact(spark):
+    seen = spark.range(0, 100).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 200).select(F.col("id").alias("url_hash"))
+    empty_state = spark.createDataFrame([], DC.FILTER_STATE_SCHEMA)
+    got = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_partitioned(cands, seen, empty_state, n_parts=4).collect()
+    )
+    assert got == list(range(100, 200))
+    partial = DC.update_seen_filters(
+        empty_state, seen.filter(F.pmod("url_hash", F.lit(4)) == 0), n_parts=4
+    )
+    got = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_partitioned(cands, seen, partial, n_parts=4).collect()
+    )
+    assert got == list(range(100, 200))
+
+
+def test_cuckoo_nparts_mismatch_degrades_to_exact(spark):
+    seen = spark.range(0, 100).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 200).select(F.col("id").alias("url_hash"))
+    state8 = DC.update_seen_filters(
+        spark.createDataFrame([], DC.FILTER_STATE_SCHEMA), seen, n_parts=8
+    ).persist()
+    state8.count()
+    got = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_partitioned(cands, seen, state8, n_parts=4).collect()
+    )
+    assert got == list(range(100, 200))
+    state8.unpersist()
+
+
+def test_cuckoo_delete_unsees_keys(spark):
+    """The cuckoo-only operation: delete stale keys from the filter AND
+    the exact seen table (recrawl invalidation) — those candidates come
+    back, everything else stays deduped, no collateral damage."""
+    seen = spark.range(0, 2000, 2).select(F.col("id").alias("url_hash"))
+    state = DC.update_seen_filters(
+        spark.createDataFrame([], DC.FILTER_STATE_SCHEMA), seen, n_parts=4
+    ).persist()
+    state.count()
+    stale = spark.range(0, 2000, 20).select(F.col("id").alias("url_hash"))  # ⊂ seen
+    state2 = DC.delete_keys(state, stale, n_parts=4).persist()
+    state2.count()
+    seen2 = seen.join(stale, "url_hash", "left_anti")
+    cands = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
+    got = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_partitioned(cands, seen2, state2, n_parts=4).collect()
+    )
+    expect = sorted(set(range(1, 2000, 2)) | set(range(0, 2000, 20)))
+    assert got == expect
+    # key-count bookkeeping survives the delete
+    assert sum(r["n_keys"] for r in state2.collect()) == seen2.count()
+    state.unpersist()
+    state2.unpersist()
+
+
+def test_cuckoo_kernel_no_false_negatives_and_fpp():
+    """Kernel invariants without Spark: every inserted key is found
+    (even under eviction-chain rollback on a deliberately tiny table),
+    and the false-positive rate is far below the Bloom arm's ~1%."""
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(-(2**62), 2**62, size=30000, dtype=np.int64))
+    m = DC._n_buckets_for(len(keys))
+    t = np.zeros((m, DC._SLOTS), dtype=np.uint16)
+    left = DC._insert_with_undo(t, keys)
+    assert not left.any()
+    assert DC._lookup(t, keys).all()
+    others = np.setdiff1d(
+        rng.integers(-(2**62), 2**62, size=100000, dtype=np.int64), keys
+    )
+    assert DC._lookup(t, others).mean() < 0.002
+    # overfilled tiny table: leftovers reported, no inserted key lost
+    tiny = np.zeros((64, DC._SLOTS), dtype=np.uint16)
+    left = DC._insert_with_undo(tiny, keys[:400])
+    assert left.any()
+    assert DC._lookup(tiny, keys[:400][~left]).all()
