@@ -166,6 +166,25 @@ class StateStore:
         os.replace(tmp, self._ckpt_path())
 
     # ------------------------------------------------------------- read
+    def snapshots(self) -> list[int]:
+        """Committed snapshot ids (= round numbers) available for time
+        travel.  Every commit publishes rounds ≤ N and nothing deletes
+        earlier round partitions (vacuum only removes dirs BEYOND the
+        checkpoint), so each past committed round remains a readable
+        snapshot — the Iceberg snapshot-log analogue of this layout."""
+        r = self.committed_round()
+        return list(range(0, r + 1)) if r >= 0 else []
+
+    def _resolve_as_of(self, as_of: int | None) -> int:
+        r = self.committed_round()
+        if as_of is None:
+            return r
+        if as_of > r or as_of < 0:
+            raise ValueError(
+                f"as_of={as_of} is not a committed snapshot (committed round: {r})"
+            )
+        return as_of
+
     def _round_dirs(self, table: str, upto: int) -> list[str]:
         base = os.path.join(self.root, table)
         if not os.path.isdir(base):
@@ -181,11 +200,21 @@ class StateStore:
         return [p for _, p in sorted(out)]
 
     def read(
-        self, table: str, schema: T.StructType | None = None, rewrite: bool = False
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        rewrite: bool = False,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Committed view: all rounds ≤ checkpoint (append tables) or the
-        latest committed round only (``rewrite=True`` snapshot tables)."""
-        r = self.committed_round()
+        latest committed round only (``rewrite=True`` snapshot tables).
+
+        ``as_of``: time travel — read the table exactly as it was when
+        round ``as_of`` was committed (append tables: rounds ≤ as_of;
+        rewrite tables: the latest snapshot ≤ as_of).  Must name a
+        committed snapshot (:meth:`snapshots`); reading past the
+        checkpoint would break snapshot isolation and raises."""
+        r = self._resolve_as_of(as_of)
         dirs = self._round_dirs(table, r)
         if rewrite:
             dirs = dirs[-1:]
@@ -215,11 +244,15 @@ class StateStore:
         ]
         return max(rounds) if rounds else -1
 
-    def read_frontier(self, schema: T.StructType) -> DataFrame:
+    def read_frontier(self, schema: T.StructType, as_of: int | None = None) -> DataFrame:
         """Committed frontier TAIL, reconstructed from the incremental
         log.  (The per-host top-K working set lives in the separate
         ``frontier_head`` rewrite table; the engine reads this tail only
         at compaction refills — never on steady rounds.)
+
+        ``as_of`` time-travels the reconstruction: base snapshot ≤
+        as_of plus deltas ≤ as_of — the tail exactly as committed at
+        that round (pinned against live per-round captures in tests).
 
         The tail is NOT rewritten per round (an O(|frontier|) write
         every round dwarfs the dispatched delta at 10^10 rows).  State =
@@ -235,7 +268,7 @@ class StateStore:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        r = self.committed_round()
+        r = self._resolve_as_of(as_of)
         base_round = self._latest_base_round(r)
         if base_round < 0:
             return self.spark.createDataFrame([], schema)

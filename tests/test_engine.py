@@ -17,6 +17,7 @@ from crawler_spark import fixtures as FX
 from crawler_spark import schemas as S
 from crawler_spark.engine import CrawlConfig, CrawlEngine
 from crawler_spark.golden import run_golden
+from crawler_spark.operators import frontier as FR
 from crawler_spark.sinks import StateStore
 
 BUDGET = 4
@@ -374,3 +375,61 @@ def test_filter_kind_switch_rebuilds_state(spark, fixture_paths, tmp_path, full_
     st = store.read("seen_filters", DC.FILTER_STATE_SCHEMA, rewrite=True)
     seen_n = store.read("url_seen", S.URL_SEEN).count()
     assert sum(r["n_keys"] for r in st.collect()) == seen_n
+
+
+def test_time_travel_reads_match_golden_prefix(spark, full_run, golden):
+    """Iceberg-parity snapshot time travel: as_of=k reads every table
+    exactly as committed at round k.  Append tables are checked against
+    the golden model truncated at k; the rewrite head table against the
+    later-round view being different; bad snapshot ids raise."""
+    store, _ = full_run
+    final = store.committed_round()
+    assert store.snapshots() == list(range(0, final + 1))
+    k = min(3, final - 1)
+    log_k = sorted(
+        (r["round"], r["seq"], r["url_hash"])
+        for r in store.read("dispatch_log", as_of=k)
+        .select("round", "seq", "url_hash")
+        .collect()
+    )
+    assert log_k == sorted(t for t in golden.dispatch_log if t[0] <= k)
+    assert log_k != sorted(golden.dispatch_log)  # the prefix is proper
+    seen_k = {
+        r["url_hash"]: r["first_round"]
+        for r in store.read("url_seen", S.URL_SEEN, as_of=k).collect()
+    }
+    assert seen_k == {h: r for h, r in golden.seen.items() if r <= k}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.read("url_seen", S.URL_SEEN, as_of=final + 1)
+    with _pytest.raises(ValueError):
+        store.read_frontier(S.FRONTIER, as_of=-2)
+
+
+def test_time_travel_frontier_matches_live_capture(spark, fixture_paths, tmp_path):
+    """read_frontier(as_of=k) after the full run reproduces bit-for-bit
+    what read_frontier() returned LIVE right after round k committed —
+    across compaction boundaries (compact_every=2 inside a 5-round run).
+    """
+    root = str(tmp_path / "tt")
+    cfg = CrawlConfig(base_budget=BUDGET, max_rounds=5, frontier_compact_every=2)
+    store, engine = _make_engine(spark, fixture_paths, root, cfg)
+    engine.bootstrap(spark.read.parquet(fixture_paths["seeds"]))
+    live = {}
+
+    def _tail_rows(df):
+        return sorted(tuple(r) for r in df.select(*FR.FRONTIER_COLS).collect())
+
+    live[0] = _tail_rows(store.read_frontier(S.FRONTIER))
+    for r in range(1, 6):
+        stats = engine.run_round(r)
+        live[r] = _tail_rows(store.read_frontier(S.FRONTIER))
+        if stats["n_dispatched"] == 0:
+            break
+    for k, rows in live.items():
+        assert _tail_rows(store.read_frontier(S.FRONTIER, as_of=k)) == rows
+    # heads too (rewrite-table time travel)
+    head_final = store.read("frontier_head", S.FRONTIER, rewrite=True)
+    head_k0 = store.read("frontier_head", S.FRONTIER, rewrite=True, as_of=0)
+    assert _tail_rows(head_k0) != _tail_rows(head_final) or len(live) == 1
