@@ -301,7 +301,7 @@ class CrawlEngine:
         exp_allowed = FR.dedup_within(expansion.filter(~F.col("_blocked")).drop("_blocked"))
 
         # seen set grows by this round's successful fetches
-        seen_prev = st.read("url_seen", S.URL_SEEN).select("url_hash", "first_round")
+        seen_prev = self._read_seen()
         new_seen = ok.select("url_hash", F.lit(round_no).alias("first_round"))
         seen_all = seen_prev.unionByName(new_seen)
 
@@ -593,6 +593,170 @@ class CrawlEngine:
             if stats["n_dispatched"] == 0 or stats["frontier_rows"] == 0:
                 break
         return history
+
+    # ------------------------------------------------------- admin rounds
+    #
+    # Between-runs maintenance (recrawl invalidation, late seed batches —
+    # the reference's new saga submissions) commits one ADMIN round: no
+    # fetching, writes go to fresh round dirs and are published by the
+    # same atomic checkpoint swap as a crawl round, so crash debris
+    # stays invisible and resume continues past it.  No committed
+    # partition is ever rewritten in place.
+
+    def _read_seen(self) -> DataFrame:
+        """Live URL-seen set: the url_seen append log minus recrawl
+        invalidations.  A key is live iff its latest first_round is
+        later than its latest invalidation round (``url_seen_del``,
+        written by admin rounds) — a re-fetch appends a fresh url_seen
+        row, so both logs stay append-only and time-travel cleanly.
+        Default crawls never invalidate; the extra join exists only
+        when the del table does, keeping the standard round plan (and
+        its pins) untouched."""
+        st = self.store
+        seen = st.read("url_seen", S.URL_SEEN).select("url_hash", "first_round")
+        if st.has_partitions("url_seen_del"):
+            dels = (
+                st.read("url_seen_del")
+                .groupBy("url_hash")
+                .agg(F.max("round").alias("_del_round"))
+            )
+            seen = (
+                seen.join(dels, "url_hash", "left")
+                .filter(
+                    F.col("_del_round").isNull()
+                    | (F.col("first_round") > F.col("_del_round"))
+                )
+                .drop("_del_round")
+            )
+        return seen
+
+    def invalidate_seen(self, del_keys: DataFrame) -> dict:
+        """Un-see URLs (``url_hash`` column) so their next discovery
+        re-fetches.  With ``filter_kind="cuckoo"`` the filter state
+        updates by O(delta) fingerprint deletion; with Bloom the
+        remaining seen set is refolded from scratch (shared bits can't
+        be deleted — the asymmetry that motivates the cuckoo arm for
+        recrawl-heavy use)."""
+        return self._admin_round(del_keys=del_keys, candidates=None)
+
+    def enqueue(self, candidates: DataFrame) -> dict:
+        """Queue frontier candidates between runs (seed-shaped rows:
+        url, seed_id, domain, schema_name, schema_version, priority,
+        optional page).  Robots-gated, deduped against the live seen
+        set and the head; new rows merge into the per-host top-K head
+        (dispatchable next round), overflow demotes to the tail delta.
+        """
+        return self._admin_round(del_keys=None, candidates=candidates)
+
+    def recrawl(self, candidates: DataFrame) -> dict:
+        """Recrawl stale URLs in one admin commit: invalidate their
+        seen entries AND re-enqueue them for fetch (operators/recrawl.py
+        schedules staleness; this applies the schedule)."""
+        cand = candidates
+        if "page" not in cand.columns:
+            cand = cand.withColumn("page", F.lit(0))
+        keys = with_url_identity(cand).select("url_hash")
+        return self._admin_round(del_keys=keys, candidates=candidates)
+
+    def _admin_round(
+        self, del_keys: DataFrame | None, candidates: DataFrame | None
+    ) -> dict:
+        st, cfg = self.store, self.cfg
+        r_prev = st.committed_round()
+        assert r_prev >= 0, "admin round needs a committed checkpoint"
+        r = r_prev + 1
+        stats = dict((st.committed() or {}).get("stats", {}))
+
+        n_inv = 0
+        dels = None
+        if del_keys is not None:
+            live = self._read_seen().select("url_hash")
+            dels = (
+                del_keys.select("url_hash")
+                .distinct()
+                .join(live, "url_hash", "left_semi")
+                .persist()
+            )
+            n_inv = dels.count()
+            if n_inv:
+                st.write_partition("url_seen_del", r, dels, 1)
+                self._maintain_filters_after_delete(r, dels, stats)
+
+        n_enq = 0
+        if candidates is not None:
+            head_k = self._head_k()
+            cand = candidates
+            if "page" not in cand.columns:
+                cand = cand.withColumn("page", F.lit(0))
+            cand = (
+                with_url_identity(cand)
+                .withColumn("round_added", F.lit(r))
+                .withColumn("attempts", F.lit(0))
+                .select(*FR.FRONTIER_COLS)
+            )
+            allowed, _blocked = R.split_robots(cand, self.robots)
+            allowed = FR.dedup_within(allowed)
+            seen_live = self._read_seen().select("url_hash")
+            if dels is not None:
+                # this admin round's own dels are not committed yet
+                seen_live = seen_live.join(dels, "url_hash", "left_anti")
+            allowed = allowed.join(seen_live, "url_hash", "left_anti")
+            head_prev = st.read("frontier_head", S.FRONTIER, rewrite=True)
+            fresh = allowed.join(
+                head_prev.select("url_hash"), "url_hash", "left_anti"
+            ).persist()
+            # (a lazily-duplicated tail copy is tolerated by design: the
+            # dispatch anti-join / refill dedup_keys folds it, exactly as
+            # for head-vs-tail duplication during crawl rounds)
+            n_enq = fresh.count()
+            if n_enq:
+                merged = head_prev.unionByName(fresh).persist()
+                head_out, demote = FR.split_head(merged, head_k)
+                head_out, demote = head_out.persist(), demote.persist()
+                n_head, n_dem = head_out.count(), demote.count()
+                st.write_partition("frontier_head", r, head_out, _n_files(n_head))
+                if n_dem:
+                    st.write_partition("frontier_add", r, demote, 1)
+                stats["head_rows"] = n_head
+                stats["head_k"] = head_k
+                stats["frontier_rows"] = int(stats.get("frontier_rows", 0)) + n_enq
+                for df in (merged, head_out, demote):
+                    df.unpersist()
+            fresh.unpersist()
+
+        stats["seen_count"] = int(stats.get("seen_count", 0)) - n_inv
+        self._write_metrics(
+            r, message=f"admin: invalidated={n_inv} enqueued={n_enq}"
+        )
+        st.commit(r, stats)
+        if dels is not None:
+            dels.unpersist()
+        return {"round": r, "n_invalidated": n_inv, "n_enqueued": n_enq}
+
+    def _maintain_filters_after_delete(
+        self, r: int, dels: DataFrame, stats: dict
+    ) -> None:
+        cfg, st = self.cfg, self.store
+        stored_parts = stats.get("filters_parts")
+        stored_kind = stats.get("filters_kind", "bloom")
+        if (
+            stored_parts is None
+            or int(stored_parts) != cfg.bloom_parts
+            or stored_kind != cfg.filter_kind
+        ):
+            return  # no live state for this config; probes stay conservative
+        if cfg.filter_kind == "cuckoo":
+            state = st.read("seen_filters", DC.FILTER_STATE_SCHEMA, rewrite=True)
+            new_state = DC.delete_keys(state, dels, cfg.bloom_parts)  # O(delta)
+        else:
+            # Bloom bits are shared — no deletion; refold the remaining
+            # seen set from scratch: O(|seen|), the documented asymmetry
+            remaining = (
+                self._read_seen().select("url_hash").join(dels, "url_hash", "left_anti")
+            )
+            empty = self.spark.createDataFrame([], D.FILTER_STATE_SCHEMA)
+            new_state = D.update_seen_filters(empty, remaining, cfg.bloom_parts)
+        st.write_partition("seen_filters", r, new_state, 1)
 
     # ------------------------------------------------------------ helpers
     def _write_metrics(self, round_no: int, **kw) -> None:

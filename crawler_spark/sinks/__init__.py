@@ -45,6 +45,7 @@ APPEND_TABLES = (
     "schemas",
     "frontier_add",
     "frontier_del",
+    "url_seen_del",  # recrawl invalidations (engine admin rounds)
 )
 REWRITE_TABLES = ("frontier_base", "frontier_head", "seen_filters")
 
@@ -184,6 +185,11 @@ class StateStore:
                 f"as_of={as_of} is not a committed snapshot (committed round: {r})"
             )
         return as_of
+
+    def has_partitions(self, table: str, as_of: int | None = None) -> bool:
+        """True iff the table has at least one COMMITTED round partition
+        (a dir freshly written by an in-flight round doesn't count)."""
+        return bool(self._round_dirs(table, self._resolve_as_of(as_of)))
 
     def _round_dirs(self, table: str, upto: int) -> list[str]:
         base = os.path.join(self.root, table)

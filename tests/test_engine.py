@@ -433,3 +433,64 @@ def test_time_travel_frontier_matches_live_capture(spark, fixture_paths, tmp_pat
     head_final = store.read("frontier_head", S.FRONTIER, rewrite=True)
     head_k0 = store.read("frontier_head", S.FRONTIER, rewrite=True, as_of=0)
     assert _tail_rows(head_k0) != _tail_rows(head_final) or len(live) == 1
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_recrawl_invalidate_and_refetch(spark, fixture_paths, tmp_path, kind):
+    """End-to-end recrawl loop: crawl to exhaustion, recrawl() three
+    stale seed URLs (one admin commit: un-see + re-enqueue), resume —
+    exactly those three re-dispatch, everything else stays deduped,
+    and the filter state survives (cuckoo: O(delta) fingerprint
+    deletes; bloom: full refold — both paths exercised with the
+    prefilter engaged from round 1)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / f"recrawl-{kind}")
+    cfg = CrawlConfig(
+        base_budget=BUDGET,
+        max_rounds=MAX_ROUNDS,
+        filter_kind=kind,
+        bloom_min_keys=1,
+        bloom_parts=8,
+    )
+    store, engine = _make_engine(spark, fixture_paths, root, cfg)
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    final = store.committed_round()
+
+    head0 = store.read("frontier_head", S.FRONTIER, rewrite=True, as_of=0)
+    stale = head0.orderBy("url_hash").limit(3)
+    want = {r["url_hash"] for r in stale.select("url_hash").collect()}
+    cand = stale.select(
+        "url", "seed_id", "domain", "schema_name", "schema_version", "priority", "page"
+    )
+    res = engine.recrawl(cand)
+    assert res == {"round": final + 1, "n_invalidated": 3, "n_enqueued": 3}
+    # recrawl of the same keys again is a no-op next time (still queued,
+    # but already un-seen): invalidation count drops to zero
+    res2 = engine.recrawl(cand)
+    assert res2["n_invalidated"] == 0 and res2["n_enqueued"] == 0
+
+    cfg2 = CrawlConfig(
+        base_budget=BUDGET,
+        max_rounds=res2["round"] + 4,
+        filter_kind=kind,
+        bloom_min_keys=1,
+        bloom_parts=8,
+    )
+    _, engine2 = _make_engine(spark, fixture_paths, root, cfg2)
+    engine2.run(resume=True)
+
+    post = store.read("dispatch_log").filter(F.col("round") > res2["round"])
+    got = {r["url_hash"] for r in post.select("url_hash").collect()}
+    assert got == want, "exactly the recrawled URLs re-dispatch"
+    # the re-fetch re-seeds the live seen set at the later round
+    live = {
+        r["url_hash"]: r["first_round"]
+        for r in engine2._read_seen().collect()
+    }
+    for h in want:
+        assert live[h] > res2["round"]
+    # and the pagination expansions of the re-fetched seed pages stayed
+    # deduped (no collateral re-fetch) — checked by `got == want` above;
+    # the seen count bookkeeping round-trips back to the original
+    assert int(store.committed()["stats"]["seen_count"]) == len(live)
