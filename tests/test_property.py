@@ -83,3 +83,38 @@ def test_video_container_roundtrip_property(seed, n_frames, size):
     fi, off, ln = offs[-1]
     px = V.decode_frame(data, off, ln)
     assert px.shape == (h, w, 3)
+
+
+# ---- cuckoo-filter kernel: arbitrary insert/delete interleavings may
+# never lose a live key (false negative = a silently re-fetched URL)
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["ins", "del"]), st.integers(-(2**62), 2**62 - 1)),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from([64, 256]),
+)
+def test_cuckoo_interleaved_ops_no_false_negatives_property(ops, m):
+    from crawler_spark.operators import dedup_cuckoo as DC
+
+    table = np.zeros((m, DC._SLOTS), dtype=np.uint16)
+    live: set[int] = set()
+    for op, key in ops:
+        arr = np.array([key], dtype=np.int64)
+        if op == "ins":
+            if key in live:  # engine never double-inserts a live key
+                continue
+            left = DC._insert_with_undo(table, arr)
+            if not left[0]:
+                live.add(key)
+        else:
+            if key not in live:  # only inserted keys may be deleted
+                continue
+            deleted = DC._delete(table, arr)
+            assert deleted[0], "a live key must be deletable"
+            live.discard(key)
+        if live:
+            h = np.fromiter(live, dtype=np.int64)
+            assert DC._lookup(table, h).all(), "live key lost (false negative)"
