@@ -99,6 +99,15 @@ class CrawlConfig:
     filter_kind: str = "bloom"
     bloom_parts: int = 64
     bloom_min_keys: int = 500_000  # below this the plain anti-join is cheaper
+    # Hive-partition url_seen by seen_part = pmod(url_hash, bloom_parts)
+    # so the maybe-survivors' exact anti-join can PRUNE the seen scan to
+    # the partitions they hash into (the O(|seen|)-scan fix at 10^10
+    # keys).  Store-lifetime choice: set it at bootstrap and never
+    # change it (mixed round layouts don't read).  Default off — the
+    # per-round pruning job and 64-way write fan-out only pay off at
+    # seen counts far beyond the local fixtures.
+    partition_url_seen: bool = False
+    seen_prune_min_keys: int = 100_000_000
     cache_web: bool = True
     verify_rows: bool = True  # per-row decode+phash+PSNR gate (input_hint)
     image_seed: int = 42
@@ -303,7 +312,7 @@ class CrawlEngine:
         # seen set grows by this round's successful fetches
         seen_prev = self._read_seen()
         new_seen = ok.select("url_hash", F.lit(round_no).alias("first_round"))
-        seen_all = seen_prev.unionByName(new_seen)
+        seen_all = seen_prev.select("url_hash", "first_round").unionByName(new_seen)
 
         # filter state persisted under a different bloom_parts covers a
         # different key→partition mapping: probing it yields false
@@ -313,6 +322,14 @@ class CrawlEngine:
         # degrades this round to the exact anti-join and refolds the
         # FULL seen set into a clean state below (dedup.py drops the
         # mismatched blobs).
+        # url_seen Hive layout: established at round 1 from config, then
+        # carried via the checkpoint so resumes (under any config) keep
+        # writing the SAME layout — mixed round layouts don't read.
+        seen_layout_parts = (
+            cfg.bloom_parts
+            if (cfg.partition_url_seen and round_no == 1)
+            else prev_stats.get("url_seen_parts")
+        )
         stored_parts = prev_stats.get("filters_parts")
         # kind mismatch (bloom blobs probed as cuckoo tables or vice versa)
         # is as corrupting as a parts mismatch — same rebuild path.
@@ -332,8 +349,23 @@ class CrawlEngine:
             # probing seen_all against stale blobs double-fetches same-round
             # collisions).
             filters = st.read("seen_filters", FK.FILTER_STATE_SCHEMA, rewrite=True)
+            # partition-pruned exact verify: with the Hive-partitioned
+            # url_seen layout, the "maybe seen" survivors' exact anti-join
+            # scans only the seen_part partitions they hash into — the
+            # O(|url_seen|)-scan-per-round fix for the 10^10-key regime.
+            # The extra tiny job (distinct part ids) only pays off once
+            # the seen scan dwarfs it, hence the min-keys gate.
+            prune_seen = (
+                seen_layout_parts == cfg.bloom_parts
+                and seen_count_prev >= cfg.seen_prune_min_keys
+            )
             fresh = FK.anti_join_seen_with_delta(
-                exp_allowed, seen_prev, new_seen, filters, cfg.bloom_parts
+                exp_allowed,
+                seen_prev,
+                new_seen,
+                filters,
+                cfg.bloom_parts,
+                prune_seen_parts=prune_seen,
             )
         else:
             fresh = D.anti_join_seen(exp_allowed, seen_all, None)
@@ -440,7 +472,15 @@ class CrawlEngine:
         # the two larger logs, and a coalesce(1) single-task write of a
         # cached frame is serial time every other core spends idle
         writes = [
-            ("url_seen", new_seen, 1),
+            (
+                "url_seen",
+                new_seen.withColumn(
+                    "seen_part", D.part_id_col("url_hash", seen_layout_parts)
+                )
+                if seen_layout_parts is not None
+                else new_seen,
+                1,
+            ),
             (
                 "expansion_log",
                 expansion.select(
@@ -554,6 +594,7 @@ class CrawlEngine:
                 "seen_count": seen_count_prev + n_ok,
                 "filters_parts": cfg.bloom_parts if wrote_filters else stored_parts,
                 "filters_kind": cfg.filter_kind if wrote_filters else stored_kind,
+                "url_seen_parts": seen_layout_parts,
                 "head_rows": n_head,
                 "head_k": head_k,
             },
@@ -613,7 +654,17 @@ class CrawlEngine:
         when the del table does, keeping the standard round plan (and
         its pins) untouched."""
         st = self.store
-        seen = st.read("url_seen", S.URL_SEEN).select("url_hash", "first_round")
+        if st.has_partitions("url_seen"):
+            # layout-aware read: the Hive seen_part column (present iff
+            # the store was bootstrapped with partition_url_seen) rides
+            # along so the exact verify can prune on it
+            raw = st.read("url_seen")
+            keep = ["url_hash", "first_round"] + (
+                ["seen_part"] if "seen_part" in raw.columns else []
+            )
+            seen = raw.select(*keep)
+        else:
+            seen = st.read("url_seen", S.URL_SEEN).select("url_hash", "first_round")
         if st.has_partitions("url_seen_del"):
             dels = (
                 st.read("url_seen_del")

@@ -238,11 +238,37 @@ def update_seen_filters(
     return prev_k.cogroup(new_k).applyInPandas(fold, schema=FILTER_STATE_SCHEMA)
 
 
+def prune_seen_to_maybe_parts(
+    seen: DataFrame, needs_check: DataFrame, n_parts: int
+) -> DataFrame:
+    """Restrict the seen scan to the partitions the "maybe seen"
+    survivors hash into.  ``seen`` must carry the Hive ``seen_part``
+    column (= pmod(url_hash, n_parts), CrawlConfig.partition_url_seen);
+    pruning is exact because a candidate in part p can only collide
+    with seen keys in part p (same pmod).  The distinct-part collect is
+    one tiny job (≤ n_parts values) — the price of turning the exact
+    verify's O(|url_seen|) per-round scan into a scan of only the hit
+    partitions at 10^10 keys (shows as PartitionFilters in the plan).
+    """
+    parts = [
+        r["p"]
+        for r in needs_check.select(
+            part_id_col("url_hash", n_parts).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not parts:
+        return seen.limit(0)
+    return seen.filter(F.col("seen_part").isin(parts))
+
+
 def anti_join_seen_partitioned(
     candidates: DataFrame,
     seen: DataFrame,
     filters_state: DataFrame,
     n_parts: int = 64,
+    prune_seen_parts: bool = False,
 ) -> DataFrame:
     """candidates \\ seen — exact, prefiltered by the partitioned state.
 
@@ -289,10 +315,12 @@ def anti_join_seen_partitioned(
         probe, schema=out_schema
     )
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
-    checked = (
-        flagged.filter(F.col("_maybe"))
-        .drop("_maybe")
-        .join(seen.select("url_hash"), "url_hash", "left_anti")
+    needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
+    seen_keys = seen
+    if prune_seen_parts and "seen_part" in seen.columns:
+        seen_keys = prune_seen_to_maybe_parts(seen, needs_check, n_parts)
+    checked = needs_check.join(
+        seen_keys.select("url_hash"), "url_hash", "left_anti"
     )
     return definitely_new.unionByName(checked)
 
@@ -303,6 +331,7 @@ def anti_join_seen_with_delta(
     new_seen: DataFrame,
     filters_state: DataFrame,
     n_parts: int = 64,
+    prune_seen_parts: bool = False,
 ) -> DataFrame:
     """candidates \\ (seen_prev ∪ new_seen), with the Bloom prefilter
     applied ONLY to the part it actually covers.
@@ -317,5 +346,7 @@ def anti_join_seen_with_delta(
     delta (small; broadcast by AQE).  Result is exactly
     ``candidates \\ seen_all``.
     """
-    base = anti_join_seen_partitioned(candidates, seen_prev, filters_state, n_parts)
+    base = anti_join_seen_partitioned(
+        candidates, seen_prev, filters_state, n_parts, prune_seen_parts
+    )
     return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")

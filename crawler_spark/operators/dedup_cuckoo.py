@@ -325,6 +325,7 @@ def anti_join_seen_partitioned(
     seen: DataFrame,
     filters_state: DataFrame,
     n_parts: int = 64,
+    prune_seen_parts: bool = False,
 ) -> DataFrame:
     """candidates \\ seen — exact, cuckoo-prefiltered; identical plan
     shape and conservative-default semantics as the Bloom arm."""
@@ -358,10 +359,14 @@ def anti_join_seen_partitioned(
         probe, schema=out_schema
     )
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
-    checked = (
-        flagged.filter(F.col("_maybe"))
-        .drop("_maybe")
-        .join(seen.select("url_hash"), "url_hash", "left_anti")
+    needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
+    seen_keys = seen
+    if prune_seen_parts and "seen_part" in seen.columns:
+        from .dedup import prune_seen_to_maybe_parts
+
+        seen_keys = prune_seen_to_maybe_parts(seen, needs_check, n_parts)
+    checked = needs_check.join(
+        seen_keys.select("url_hash"), "url_hash", "left_anti"
     )
     return definitely_new.unionByName(checked)
 
@@ -372,10 +377,13 @@ def anti_join_seen_with_delta(
     new_seen: DataFrame,
     filters_state: DataFrame,
     n_parts: int = 64,
+    prune_seen_parts: bool = False,
 ) -> DataFrame:
     """candidates \\ (seen_prev ∪ new_seen) — the filter covers only
     seen_prev; the one-round delta gets its own exact anti-join (the
     round-1 delta-blindspot fix, shared semantics with the Bloom arm).
     """
-    base = anti_join_seen_partitioned(candidates, seen_prev, filters_state, n_parts)
+    base = anti_join_seen_partitioned(
+        candidates, seen_prev, filters_state, n_parts, prune_seen_parts
+    )
     return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")

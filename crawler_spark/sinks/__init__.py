@@ -54,6 +54,10 @@ REWRITE_TABLES = ("frontier_base", "frontier_head", "seen_filters")
 # (storage/handler.go:103): results/round=N/schema_name=…/schema_version=…/
 # → Catalyst partition-prunes per-schema reads down to one subtree.
 TABLE_PARTITIONS = {"results": ["schema_name", "schema_version"]}
+# layout-optional Hive columns: applied only when the engine put them in
+# the frame (url_seen's seen_part = pmod(url_hash, n_parts), the pruned
+# exact-verify layout — CrawlConfig.partition_url_seen)
+OPTIONAL_TABLE_PARTITIONS = {"url_seen": ["seen_part"]}
 
 
 class StateStore:
@@ -93,6 +97,10 @@ class StateStore:
         path = os.path.join(self.root, table, f"round={round_no}")
         writer = df.write.mode("overwrite")
         pcols = TABLE_PARTITIONS.get(table)
+        if pcols is None:
+            opt = OPTIONAL_TABLE_PARTITIONS.get(table)
+            if opt and all(c in df.columns for c in opt):
+                pcols = opt
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(path)

@@ -494,3 +494,57 @@ def test_recrawl_invalidate_and_refetch(spark, fixture_paths, tmp_path, kind):
     # deduped (no collateral re-fetch) — checked by `got == want` above;
     # the seen count bookkeeping round-trips back to the original
     assert int(store.committed()["stats"]["seen_count"]) == len(live)
+
+
+def test_partitioned_url_seen_layout_equivalence(spark, fixture_paths, tmp_path, full_run):
+    """partition_url_seen=True with pruning forced on from round 1:
+    identical dispatch log and URL-seen set as the default run; the
+    url_seen round dirs carry the seen_part Hive layout, the layout is
+    recorded in the checkpoint, and a resume (even with the flag off)
+    keeps writing it."""
+    full_store, _ = full_run
+    root = str(tmp_path / "pseen")
+    cfg = CrawlConfig(
+        base_budget=BUDGET,
+        max_rounds=2,
+        partition_url_seen=True,
+        seen_prune_min_keys=1,
+        bloom_min_keys=1,
+        bloom_parts=8,
+    )
+    store, engine = _make_engine(spark, fixture_paths, root, cfg)
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert store.committed()["stats"]["url_seen_parts"] == 8
+    d1 = os.path.join(root, "url_seen", "round=1")
+    assert any(x.startswith("seen_part=") for x in os.listdir(d1))
+
+    # resume with the flag OFF: layout must persist (checkpoint-carried)
+    _, engine2 = _make_engine(
+        spark,
+        fixture_paths,
+        root,
+        CrawlConfig(
+            base_budget=BUDGET,
+            max_rounds=MAX_ROUNDS,
+            partition_url_seen=False,
+            seen_prune_min_keys=1,
+            bloom_min_keys=1,
+            bloom_parts=8,
+        ),
+    )
+    engine2.run(resume=True)
+    assert store.committed()["stats"]["url_seen_parts"] == 8
+    later = [
+        d
+        for d in os.listdir(os.path.join(root, "url_seen"))
+        if d.startswith("round=") and int(d.split("=")[1]) > 2
+    ]
+    def _layout_ok(d):
+        entries = os.listdir(os.path.join(root, "url_seen", d))
+        has_data = any(e.startswith("seen_part=") or e.endswith(".parquet") for e in entries)
+        # rounds with zero fetches write no partition dirs at all — fine;
+        # any round WITH data must use the seen_part layout
+        return (not has_data) or any(e.startswith("seen_part=") for e in entries)
+
+    assert later and all(_layout_ok(d) for d in later)
+    assert _spark_outputs(store) == _spark_outputs(full_store)

@@ -584,3 +584,63 @@ def test_cuckoo_kernel_no_false_negatives_and_fpp():
     left = DC._insert_with_undo(tiny, keys[:400])
     assert left.any()
     assert DC._lookup(tiny, keys[:400][~left]).all()
+
+
+def test_pruned_exact_verify_equivalence_and_partition_filters(spark, tmp_path):
+    """With the Hive-partitioned url_seen layout, the maybe-survivors'
+    exact anti-join prunes the seen scan to the hit partitions — result
+    identical to the unpruned join, and the scan plan carries a
+    PartitionFilters entry on seen_part."""
+    n_parts = 8
+    seen_path = str(tmp_path / "url_seen")
+    (
+        spark.range(0, 5000, 2)
+        .select(F.col("id").alias("url_hash"), F.lit(1).alias("first_round"))
+        .withColumn("seen_part", D.part_id_col("url_hash", n_parts))
+        .write.partitionBy("seen_part")
+        .parquet(seen_path)
+    )
+    seen = spark.read.parquet(seen_path)
+    state = D.update_seen_filters(
+        spark.createDataFrame([], D.FILTER_STATE_SCHEMA),
+        seen.select("url_hash"),
+        n_parts=n_parts,
+    ).persist()
+    state.count()
+    # candidates concentrated in two partitions + a spread of new keys
+    cands = spark.range(0, 5000).select(F.col("id").alias("url_hash")).filter(
+        (F.pmod("url_hash", F.lit(n_parts)) < 2) | (F.col("url_hash") % 2 == 1)
+    )
+    plain = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen_partitioned(
+            cands, seen, state, n_parts, prune_seen_parts=False
+        ).collect()
+    )
+    pruned_df = D.anti_join_seen_partitioned(
+        cands, seen, state, n_parts, prune_seen_parts=True
+    )
+    pruned = sorted(r["url_hash"] for r in pruned_df.collect())
+    assert pruned == plain
+    # cuckoo arm shares the helper — same equivalence
+    cstate = DC.update_seen_filters(
+        spark.createDataFrame([], DC.FILTER_STATE_SCHEMA),
+        seen.select("url_hash"),
+        n_parts=n_parts,
+    ).persist()
+    cstate.count()
+    cpruned = sorted(
+        r["url_hash"]
+        for r in DC.anti_join_seen_partitioned(
+            cands, seen, cstate, n_parts, prune_seen_parts=True
+        ).collect()
+    )
+    assert cpruned == plain
+    # the pruned seen scan is partition-filtered (static pruning via isin)
+    probe = D.prune_seen_to_maybe_parts(
+        seen, cands.limit(50), n_parts
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "seen_part" in plan
+    state.unpersist()
+    cstate.unpersist()
