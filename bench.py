@@ -71,7 +71,9 @@ HEADLINE = [
     "q_crawl_round",
     "q_frontier_expand",
     "q_url_canon",
+    "q_url_canon_full",
     "q_robots_gate",
+    "q_robots_rfc_gate",
     "q_crawl_delay_schedule",
     "q_pagerank_hosts",
     "q_authority_order",

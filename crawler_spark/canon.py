@@ -56,6 +56,47 @@ def with_url_identity(df, url_col_name: str = "url"):
     ).withColumn("host", host_col(F.col(url_col_name)))
 
 
+# ------------------------------------------- RFC 3986 §6 full normalization
+def full_canonical_url_col(url: Column) -> Column:
+    """Syntax-based normalization (RFC 3986 §6.2.2-6.2.3) beyond the
+    reference's fragment/.html cut — the dedup lever a general crawler
+    needs, since ``HTTP://Host.Example:80/a?b=1&a=2#f`` and
+    ``http://host.example/a?a=2&b=1`` are the same resource:
+
+    - scheme and host lowercased (case-insensitive by spec)
+    - default port stripped (``:80`` for http, ``:443`` for https)
+    - fragment dropped
+    - query parameters sorted bytewise (``&``-split; key order is not
+      semantic for the overwhelming majority of endpoints, and sorting
+      is what makes the seen-set key stable across link spellings)
+    - empty query string dropped (trailing ``?``)
+
+    Pure built-in expressions (codegen); mirrored verbatim by the
+    q_url_canon_full DuckDB oracle.  Percent-encoding normalization is
+    deliberately out of scope (needs a char-level decoder; the corpus
+    keys it would merge are rare vs case/port/param-order variants)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = F.substring_index(hostport, ":", 1)
+    port = F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1)).otherwise(
+        F.lit("")
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+
+
 # --------------------------------------------------------------- Python side
 def canonical_url(url: str) -> str:
     """Exact Python mirror of :func:`canonical_url_col`."""

@@ -100,6 +100,40 @@ def q_url_canon(spark, sf):
     )
 
 
+def q_url_canon_full(spark, sf):
+    """RFC 3986 §6 syntax normalization (canon.full_canonical_url_col):
+    scheme/host lowercasing, default-port strip, fragment drop, query-
+    param sort, empty-query drop.  Synthesized URLs exercise every
+    branch: SHOUTING scheme+host, :80 vs :8080 vs :443 ports, unsorted
+    two-param queries, fragments, bare paths.  The dedup lever a
+    general crawler's URL-seen set needs beyond the reference's
+    fragment/.html cut (q_url_canon)."""
+    from .canon import full_canonical_url_col
+
+    part = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    s = F.col("p_size") % 5
+    url = F.concat(
+        F.when(s == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(k % 2 == 0, F.lit("Host")).otherwise(F.lit("host")),
+        F.pmod(k, F.lit(7)).cast("string"),
+        F.lit(".Example"),
+        F.when(s == 0, F.lit(":80"))
+        .when(s == 1, F.lit(":443"))
+        .when(s == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/item/"),
+        k.cast("string"),
+        F.when(s == 3, F.lit("?z=9&a=1")).when(s == 4, F.lit("?a=1&z=9")).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return part.select(
+        "p_partkey",
+        url.alias("raw_url"),
+        full_canonical_url_col(url).alias("canon_url"),
+    )
+
+
 def q_robots_gate(spark, sf):
     """Robots.txt prefix gate (north_rule: robots-gated scheduling) as a
     direct oracle query — the engine's ``tag_robots`` operator
@@ -135,6 +169,51 @@ def q_robots_gate(spark, sf):
     )
     return tag_robots(cand, robots).select(
         "p_partkey", "url", "host", F.col("_blocked").alias("blocked")
+    )
+
+
+def q_robots_rfc_gate(spark, sf):
+    """Full RFC 9309 robots matching (operators/robots.rfc_robots_verdict)
+    — multiple Allow/Disallow rules per host, ``*`` wildcards, ``$``
+    end-anchors, longest-match-wins with Allow breaking length ties,
+    no-match ⇒ allowed.  The single-prefix gate (q_robots_gate) is the
+    engine/fixture contract; this pins the full grammar a general
+    crawler needs.  Six path shapes × four hosts exercise every branch:
+    allow-overrides-shorter-disallow (/private/public/ over /private/),
+    anchored wildcard (/*.pdf$), mid-path wildcard (/files/*/b$), exact
+    length tie (allow + disallow '/tie/a' ⇒ allowed), plain prefix, and
+    a rule-less host (NULL branch ⇒ allowed)."""
+    from .operators.robots import rfc_robots_verdict
+
+    part = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    s = F.col("p_size") % 6
+    path = (
+        F.when(s == 0, F.concat(F.lit("/private/doc"), k.cast("string"), F.lit(".pdf")))
+        .when(s == 1, F.concat(F.lit("/private/public/page"), k.cast("string")))
+        .when(s == 2, F.concat(F.lit("/files/a"), F.pmod(k, F.lit(7)).cast("string"), F.lit("/b")))
+        .when(s == 3, F.concat(F.lit("/item/"), k.cast("string"), F.lit(".html")))
+        .when(s == 4, F.concat(F.lit("/public/x"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/tie/a"), k.cast("string")))
+    )
+    host = F.concat(F.lit("h"), F.pmod(k, F.lit(4)).cast("string"), F.lit(".example"))
+    cand = part.select("p_partkey", host.alias("host"), path.alias("path"))
+    rules = spark.createDataFrame(
+        [
+            ("h0.example", "disallow", "/private/"),
+            ("h0.example", "allow", "/private/public/"),
+            ("h0.example", "disallow", "/*.pdf$"),
+            ("h1.example", "disallow", "/files/*/b$"),
+            ("h1.example", "disallow", "/*.pdf$"),
+            ("h1.example", "disallow", "/item/"),
+            ("h2.example", "allow", "/tie/a"),
+            ("h2.example", "disallow", "/tie/a"),
+            ("h2.example", "disallow", "/public/"),
+        ],
+        "host string, rule_type string, pattern string",
+    )
+    return rfc_robots_verdict(cand, rules, ["p_partkey"]).select(
+        "p_partkey", "host", "path", "allowed", F.col("match_len").cast("long").alias("match_len")
     )
 
 
@@ -2038,11 +2117,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_substring_before": q_substring_before,
     "q_page_url": q_page_url,
     "q_url_canon": q_url_canon,
+    "q_url_canon_full": q_url_canon_full,
     "q_sitemap_extract": q_sitemap_extract,
     "q_surt_index": q_surt_index,
     "q_snapshot_diff": q_snapshot_diff,
     "q_html_strip": q_html_strip,
     "q_robots_gate": q_robots_gate,
+    "q_robots_rfc_gate": q_robots_rfc_gate,
     "q_safe_cast": q_safe_cast,
     "q_json_decode": q_json_decode,
     "q_run_stamp": q_run_stamp,
@@ -2549,6 +2630,93 @@ ORACLES: dict[str, str] = {
                COALESCE(r.rule, '') <> ''
                AND starts_with(u.path, r.rule) AS blocked
         FROM u LEFT JOIN r ON u.hid = r.hid
+    """,
+    "q_url_canon_full": r"""
+        WITH u AS (
+          SELECT p_partkey,
+                 CASE WHEN p_size % 5 = 0 THEN 'HTTP://' ELSE 'https://' END
+                 || CASE WHEN p_partkey % 2 = 0 THEN 'Host' ELSE 'host' END
+                 || CAST(p_partkey % 7 AS VARCHAR) || '.Example'
+                 || CASE WHEN p_size % 5 = 0 THEN ':80'
+                         WHEN p_size % 5 = 1 THEN ':443'
+                         WHEN p_size % 5 = 2 THEN ':8080' ELSE '' END
+                 || '/item/' || CAST(p_partkey AS VARCHAR)
+                 || CASE WHEN p_size % 5 = 3 THEN '?z=9&a=1'
+                         WHEN p_size % 5 = 4 THEN '?a=1&z=9' ELSE '' END
+                 || CASE WHEN p_partkey % 3 = 0 THEN '#frag' ELSE '' END AS raw_url
+          FROM part),
+        p AS (
+          SELECT p_partkey, raw_url,
+                 lower(regexp_extract(raw_url,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(raw_url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(raw_url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(raw_url, '\?([^#]*)', 1) AS query
+          FROM u),
+        n AS (
+          SELECT p_partkey, raw_url, scheme, path,
+                 CASE WHEN contains(hostport, ':')
+                      THEN split_part(hostport, ':', 1) ELSE hostport END AS host,
+                 CASE WHEN contains(hostport, ':')
+                      THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+                 array_to_string(list_sort(string_split(query, '&')), '&') AS qsorted
+          FROM p)
+        SELECT p_partkey, raw_url,
+               scheme || '://' || host
+               || CASE WHEN port <> ''
+                        AND NOT ((scheme = 'http' AND port = '80')
+                                 OR (scheme = 'https' AND port = '443'))
+                       THEN ':' || port ELSE '' END
+               || path
+               || CASE WHEN qsorted <> '' THEN '?' || qsorted ELSE '' END AS canon_url
+        FROM n
+    """,
+    "q_robots_rfc_gate": r"""
+        WITH cand AS (
+          SELECT p_partkey,
+                 'h' || CAST(p_partkey % 4 AS VARCHAR) || '.example' AS host,
+                 CASE p_size % 6
+                   WHEN 0 THEN '/private/doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+                   WHEN 1 THEN '/private/public/page' || CAST(p_partkey AS VARCHAR)
+                   WHEN 2 THEN '/files/a' || CAST(p_partkey % 7 AS VARCHAR) || '/b'
+                   WHEN 3 THEN '/item/' || CAST(p_partkey AS VARCHAR) || '.html'
+                   WHEN 4 THEN '/public/x' || CAST(p_partkey AS VARCHAR)
+                   ELSE '/tie/a' || CAST(p_partkey AS VARCHAR)
+                 END AS path
+          FROM part),
+        rules(host, rule_type, pattern) AS (VALUES
+          ('h0.example', 'disallow', '/private/'),
+          ('h0.example', 'allow', '/private/public/'),
+          ('h0.example', 'disallow', '/*.pdf$'),
+          ('h1.example', 'disallow', '/files/*/b$'),
+          ('h1.example', 'disallow', '/*.pdf$'),
+          ('h1.example', 'disallow', '/item/'),
+          ('h2.example', 'allow', '/tie/a'),
+          ('h2.example', 'disallow', '/tie/a'),
+          ('h2.example', 'disallow', '/public/')),
+        rx AS (
+          SELECT host,
+                 CAST(length(pattern) AS BIGINT) AS mlen,
+                 CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END AS is_allow,
+                 '^' || replace(replace(
+                          CASE WHEN pattern LIKE '%$'
+                               THEN substr(pattern, 1, length(pattern) - 1)
+                               ELSE pattern END,
+                          '.', '\.'), '*', '.*')
+                     || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
+          FROM rules),
+        m AS (
+          SELECT c.p_partkey,
+                 max(struct_pack(mlen := r.mlen, is_allow := r.is_allow)) AS w
+          FROM cand c
+          JOIN rx r ON c.host = r.host AND regexp_matches(c.path, r.rxp)
+          GROUP BY c.p_partkey)
+        SELECT c.p_partkey, c.host, c.path,
+               COALESCE(m.w.is_allow = 1, TRUE) AS allowed,
+               COALESCE(m.w.mlen, 0) AS match_len
+        FROM cand c LEFT JOIN m ON c.p_partkey = m.p_partkey
     """,
     "q_rollup": """
         SELECT event_type, user_bucket,

@@ -38,3 +38,79 @@ def split_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
         tagged.filter(~F.col("_blocked")).drop("_blocked"),
         tagged.filter(F.col("_blocked")).drop("_blocked"),
     )
+
+
+# ------------------------------------------------- RFC 9309 wildcard matching
+#
+# Real robots.txt files carry MULTIPLE Allow/Disallow rules per host with
+# ``*`` wildcards and ``$`` end-anchors; the verdict is decided by the
+# LONGEST matching pattern (most octets), with Allow winning length ties
+# and "no matching rule" meaning allowed (RFC 9309 §2.2.2).  The
+# single-prefix gate above stays the engine/fixture contract; this is
+# the full-grammar operator a general crawler runs at frontier insert.
+#
+# Pattern grammar accepted here (and enforced by callers): literal path
+# octets, ``*`` matching any run of characters, optional trailing ``$``
+# anchoring the match at end-of-path.  The translation to a regex is
+# shared verbatim with the DuckDB oracle (q_robots_rfc_gate):
+#
+#   body  = pattern minus one trailing '$' (its presence → anchored)
+#   rx    = '^' + body.replace('.', '\.').replace('*', '.*') + ('$' if anchored)
+#
+# Only ``.`` needs escaping: robots path patterns otherwise contain no
+# characters that are metacharacters in BOTH Java regex and RE2, and the
+# translated class (literals + ``.*``) is linear-time in either engine.
+
+
+def _rule_regex(pattern):
+    body = F.when(pattern.endswith("$"), F.substring(pattern, 1, F.length(pattern) - 1)).otherwise(
+        pattern
+    )
+    rx_body = F.replace(F.replace(body, F.lit("."), F.lit(r"\.")), F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), rx_body, F.when(pattern.endswith("$"), F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def rfc_robots_verdict(
+    candidates: DataFrame,
+    rules: DataFrame,
+    key_cols: list[str],
+    path: str = "path",
+) -> DataFrame:
+    """Per-candidate RFC 9309 verdict over a (host, rule_type, pattern)
+    rule table; ``rule_type`` ∈ {'allow', 'disallow'}.
+
+    Returns ``candidates`` + ``allowed`` (boolean) + ``match_len`` (octet
+    length of the winning pattern; 0 when no rule matched).
+
+    Plan shape: the rule table is per-host-small (robots.txt is a
+    bounded file) → broadcast join on host, regex filter, then ONE
+    combiner-backed aggregate keyed on the candidate key picking
+    ``max(struct(match_len, is_allow))`` — allow wins equal lengths by
+    struct ordering, no window.  At 10^10 candidates this shuffles only
+    (key, winner-struct) pairs of the matched subset."""
+    with_rx = rules.select(
+        "host",
+        F.length("pattern").cast("int").alias("_mlen"),
+        (F.col("rule_type") == "allow").cast("int").alias("_is_allow"),
+        _rule_regex(F.col("pattern")).alias("_rx"),
+    )
+    matched = (
+        candidates.select(*key_cols, "host", path)
+        .join(F.broadcast(with_rx), "host")
+        .filter(F.regexp_like(F.col(path), F.col("_rx")))
+        .groupBy(*key_cols)
+        .agg(F.max(F.struct(F.col("_mlen"), F.col("_is_allow"))).alias("_w"))
+        .select(
+            *key_cols,
+            (F.col("_w._is_allow") == 1).alias("_m_allowed"),
+            F.col("_w._mlen").alias("_m_len"),
+        )
+    )
+    return (
+        candidates.join(matched, key_cols, "left")
+        .withColumn("allowed", F.coalesce(F.col("_m_allowed"), F.lit(True)))
+        .withColumn("match_len", F.coalesce(F.col("_m_len"), F.lit(0)))
+        .drop("_m_allowed", "_m_len")
+    )

@@ -57,3 +57,28 @@ def test_reference_pins():
     assert canonical_url("https://h.example/no-suffix?a=1") == "https://h.example/no-suffix?a=1"
     # first .html wins
     assert canonical_url("https://h.example/a.html.html#z") == "https://h.example/a"
+
+
+def test_full_canonical_rfc3986(spark):
+    """RFC 3986 §6 normalization pins: case, default ports, param sort,
+    fragment/empty-query drop — and the non-default port survives."""
+    from crawler_spark.canon import full_canonical_url_col
+
+    cases = [
+        ("HTTP://Host.Example:80/a?z=9&a=1#f", "http://host.example/a?a=1&z=9"),
+        ("https://Host.Example:443/a", "https://host.example/a"),
+        ("https://h.example:8080/a?b=2", "https://h.example:8080/a?b=2"),
+        ("http://h.example:443/a", "http://h.example:443/a"),  # 443 not http's default
+        ("https://h.example/a?", "https://h.example/a"),
+        ("https://h.example/a#only-frag", "https://h.example/a"),
+        ("https://h.example/a?single=1", "https://h.example/a?single=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    out = {
+        r["url"]: r["canon"]
+        for r in df.select(
+            "url", full_canonical_url_col(F.col("url")).alias("canon")
+        ).collect()
+    }
+    for raw, want in cases:
+        assert out[raw] == want, (raw, out[raw], want)

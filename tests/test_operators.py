@@ -88,6 +88,45 @@ def test_robots_split(spark):
     assert [r["url_hash"] for r in blocked.collect()] == [1]
 
 
+def test_rfc_robots_semantics(spark):
+    """RFC 9309 §2.2.2 pins: longest match wins; allow wins length
+    ties; '$' anchors; '*' spans path chars; '.' is literal (escape
+    check); no rule / no matching rule ⇒ allowed."""
+    cases = [
+        # (id, host, path, expect_allowed, expect_match_len)
+        (1, "a", "/private/doc.pdf", False, 9),        # /private/ beats /*.pdf$
+        (2, "a", "/private/public/x", True, 16),       # longer allow overrides
+        (3, "a", "/other.pdf", False, 7),              # anchored wildcard decisive
+        (4, "a", "/other.pdfx", True, 0),              # '$' anchors: no match
+        (5, "a", "/tie/a", True, 6),                   # exact tie → allow wins
+        (6, "a", "/aXb", True, 0),                     # '.' literal, not regex any
+        (7, "a", "/a.b", False, 4),                    # the escaped-dot rule matches
+        (8, "b", "/private/doc.pdf", True, 0),         # rule-less host
+        (9, "a", "/files/x/y/b", False, 11),           # '*' spans multiple segments
+    ]
+    cand = spark.createDataFrame(
+        [(i, h, p) for i, h, p, _, _ in cases], "id: long, host: string, path: string"
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a", "disallow", "/private/"),
+            ("a", "allow", "/private/public/"),
+            ("a", "disallow", "/*.pdf$"),
+            ("a", "allow", "/tie/a"),
+            ("a", "disallow", "/tie/a"),
+            ("a", "disallow", "/a.b"),
+            ("a", "disallow", "/files/*/b$"),
+        ],
+        "host string, rule_type string, pattern string",
+    )
+    out = {
+        r["id"]: (r["allowed"], r["match_len"])
+        for r in R.rfc_robots_verdict(cand, rules, ["id"]).collect()
+    }
+    for i, _, _, exp_allowed, exp_len in cases:
+        assert out[i] == (exp_allowed, exp_len), (i, out[i], (exp_allowed, exp_len))
+
+
 # ---- U2/F4: bloom-prefiltered anti-join ≡ exact anti-join
 def test_bloom_anti_join_equivalence(spark):
     seen = spark.range(0, 5000, 2).select(F.col("id").alias("url_hash"))

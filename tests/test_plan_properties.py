@@ -172,6 +172,16 @@ def test_robots_gate_is_broadcast_join(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_robots_rfc_gate_broadcasts_rules(spark, sf_dir):
+    """The RFC 9309 matcher's rule join must broadcast (rules are
+    O(hosts)); the only candidate exchanges are the winner aggregate
+    and its key-join reuse — never a shuffle to meet the rule table."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_robots_rfc_gate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_crawl_delay_schedule_single_shuffle(spark, sf_dir):
     """The dispatch-schedule plan is ONE host shuffle feeding the
     per-host window; the robots/delay side joins broadcast (no second
