@@ -85,7 +85,9 @@ def full_canonical_url_col(url: Column) -> Column:
         ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
     )
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = after the first '?' of the PRE-FRAGMENT part only — a '?'
+    # inside the fragment ('/a#f?x') is fragment text, not a query
+    query = F.regexp_extract(F.substring_index(url, "#", 1), r"\?(.*)$", 1)
     qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         scheme,

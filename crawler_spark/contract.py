@@ -2653,7 +2653,7 @@ ORACLES: dict[str, str] = {
                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
                  regexp_extract(raw_url,
                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-                 regexp_extract(raw_url, '\?([^#]*)', 1) AS query
+                 regexp_extract(split_part(raw_url, '#', 1), '\?(.*)$', 1) AS query
           FROM u),
         n AS (
           SELECT p_partkey, raw_url, scheme, path,

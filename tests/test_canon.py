@@ -82,3 +82,51 @@ def test_full_canonical_rfc3986(spark):
     }
     for raw, want in cases:
         assert out[raw] == want, (raw, out[raw], want)
+
+
+def test_full_canonical_matches_urllib_reference(spark):
+    """Batch-random equivalence vs an independent reference built on
+    urllib.parse.urlsplit (seeded, 300 URLs): mixed-case schemes/hosts,
+    default and exotic ports, shuffled multi-param queries, fragments."""
+    import random
+    from urllib.parse import urlsplit
+
+    from crawler_spark.canon import full_canonical_url_col
+
+    rng = random.Random(3986)
+
+    def mk_url():
+        scheme = rng.choice(["http", "https", "HTTP", "HtTpS", "Https"])
+        host = "".join(
+            rng.choice("aBcDeF") for _ in range(rng.randint(2, 6))
+        ) + rng.choice([".Example", ".test", ".org"])
+        port = rng.choice(["", ":80", ":443", ":8080", ":8443"])
+        path = "".join("/" + rng.choice(["a", "B", "x1", "y.z"]) for _ in range(rng.randint(0, 3)))
+        params = [f"{k}={rng.randint(0,9)}" for k in rng.sample("abcdz", rng.randint(0, 3))]
+        rng.shuffle(params)
+        query = "?" + "&".join(params) if params else rng.choice(["", "?"])
+        frag = rng.choice(["", "#f", "#frag/with?stuff"])
+        return f"{scheme}://{host}{port}{path}{query}{frag}"
+
+    def py_canon(u):
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = sp.hostname or ""
+        port = sp.port  # int or None; urlsplit does NOT strip defaults
+        keep = port is not None and not (
+            (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+        )
+        qsorted = "&".join(sorted(sp.query.split("&"))) if sp.query else ""
+        return (
+            scheme + "://" + host + (f":{port}" if keep else "") + sp.path
+            + (f"?{qsorted}" if qsorted else "")
+        )
+
+    urls = list({mk_url() for _ in range(300)})
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = {
+        r["url"]: r["canon"]
+        for r in df.select("url", full_canonical_url_col(F.col("url")).alias("canon")).collect()
+    }
+    for u in urls:
+        assert out[u] == py_canon(u), (u, out[u], py_canon(u))

@@ -683,3 +683,60 @@ def test_pruned_exact_verify_equivalence_and_partition_filters(spark, tmp_path):
     assert "PartitionFilters" in plan and "seen_part" in plan
     state.unpersist()
     cstate.unpersist()
+
+
+def test_rfc_robots_matches_python_reference(spark):
+    """Batch-random equivalence vs an independent pure-Python RFC 9309
+    reference: 400 generated paths × per-host random rule sets (seeded)
+    — covers the rule-interaction space far beyond the handcrafted
+    pins (overlapping wildcards, multiple ties, anchor-vs-prefix races)."""
+    import random
+    import re as _re
+
+    rng = random.Random(9309)
+    seg = lambda: rng.choice(["a", "b", "cat", "img", "x.y", "p1"])
+
+    def mk_pattern():
+        parts = ["/" + seg() for _ in range(rng.randint(1, 3))]
+        p = "".join(parts)
+        if rng.random() < 0.4:
+            i = rng.randint(1, len(p) - 1)
+            p = p[:i] + "*" + p[i:]
+        if rng.random() < 0.3:
+            p += "$"
+        return p
+
+    hosts = [f"h{i}" for i in range(5)]
+    rules = []
+    for h in hosts[:-1]:  # last host rule-less
+        for _ in range(rng.randint(1, 6)):
+            rules.append((h, rng.choice(["allow", "disallow"]), mk_pattern()))
+    paths = []
+    for i in range(400):
+        p = "".join("/" + seg() for _ in range(rng.randint(1, 4)))
+        if rng.random() < 0.3:
+            p += rng.choice([".pdf", ".html", ""])
+        paths.append((i, rng.choice(hosts), p))
+
+    def py_match(path, pattern):
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "^" + _re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+        return _re.search(rx, path) is not None
+
+    def py_verdict(host, path):
+        best = None
+        for h, t, p in rules:
+            if h == host and py_match(path, p):
+                cand = (len(p), 1 if t == "allow" else 0)
+                best = cand if best is None else max(best, cand)
+        return (True, 0) if best is None else (best[1] == 1, best[0])
+
+    cand = spark.createDataFrame(paths, "id: long, host: string, path: string")
+    rdf = spark.createDataFrame(rules, "host string, rule_type string, pattern string")
+    out = {
+        r["id"]: (r["allowed"], r["match_len"])
+        for r in R.rfc_robots_verdict(cand, rdf, ["id"]).collect()
+    }
+    for i, h, p in paths:
+        assert out[i] == py_verdict(h, p), (i, h, p, out[i], py_verdict(h, p))
