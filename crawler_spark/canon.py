@@ -77,9 +77,14 @@ def full_canonical_url_col(url: Column) -> Column:
     keys it would merge are rare vs case/port/param-order variants)."""
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    host = F.substring_index(hostport, ":", 1)
-    port = F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1)).otherwise(
-        F.lit("")
+    # bracketed IPv6 literals ([::1], [2001:db8::2]:8080) carry ':' inside
+    # the host — split on ']:' for those, plain ':' otherwise
+    is_v6 = hostport.startswith("[")
+    host = F.when(is_v6, F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)).otherwise(
+        F.substring_index(hostport, ":", 1)
+    )
+    port = F.when(is_v6, F.regexp_extract(hostport, r"\]:(.*)$", 1)).otherwise(
+        F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
     )
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))

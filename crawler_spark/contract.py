@@ -2657,9 +2657,13 @@ ORACLES: dict[str, str] = {
           FROM u),
         n AS (
           SELECT p_partkey, raw_url, scheme, path,
-                 CASE WHEN contains(hostport, ':')
+                 CASE WHEN hostport LIKE '[%'
+                      THEN regexp_extract(hostport, '^(\[[^\]]*\])', 1)
+                      WHEN contains(hostport, ':')
                       THEN split_part(hostport, ':', 1) ELSE hostport END AS host,
-                 CASE WHEN contains(hostport, ':')
+                 CASE WHEN hostport LIKE '[%'
+                      THEN regexp_extract(hostport, '\]:(.*)$', 1)
+                      WHEN contains(hostport, ':')
                       THEN split_part(hostport, ':', 2) ELSE '' END AS port,
                  array_to_string(list_sort(string_split(query, '&')), '&') AS qsorted
           FROM p)
@@ -2700,11 +2704,11 @@ ORACLES: dict[str, str] = {
           SELECT host,
                  CAST(length(pattern) AS BIGINT) AS mlen,
                  CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END AS is_allow,
-                 '^' || replace(replace(
+                 '^' || replace(regexp_replace(
                           CASE WHEN pattern LIKE '%$'
                                THEN substr(pattern, 1, length(pattern) - 1)
                                ELSE pattern END,
-                          '.', '\.'), '*', '.*')
+                          '([^A-Za-z0-9/*])', '\\\1', 'g'), '*', '.*')
                      || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
           FROM rules),
         m AS (
@@ -2904,9 +2908,13 @@ ORACLES: dict[str, str] = {
           SELECT host, path,
                  len(list_filter(string_split(path, '/'), x -> x <> ''))
                    AS depth,
-                 len(list_filter(string_split(path, '/'), x -> x <> ''))
-               - len(list_distinct(list_filter(string_split(path, '/'),
-                                               x -> x <> ''))) >= 2 AS is_loop
+                 len(list_filter(
+                       list_distinct(list_filter(string_split(path, '/'),
+                                                 x -> x <> '')),
+                       d -> len(list_filter(
+                              list_filter(string_split(path, '/'),
+                                          x -> x <> ''),
+                              s -> s = d)) >= 3)) > 0 AS is_loop
           FROM u)
         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                CAST(sum(CASE WHEN is_loop THEN 1 ELSE 0 END) AS BIGINT)

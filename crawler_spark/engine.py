@@ -62,6 +62,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import schemas as S
 from .canon import with_url_identity
@@ -181,6 +182,7 @@ class CrawlEngine:
                 "seen_count": 0,
                 "head_rows": n_head,
                 "head_k": self._head_k(),
+                "last_compact_round": 0,
             },
         )
         head.unpersist()
@@ -220,7 +222,14 @@ class CrawlEngine:
         total_prev = int(prev_stats.get("frontier_rows", 0))
         head_prev_rows = int(prev_stats.get("head_rows", total_prev))
         head_k = self._head_k()
-        compact = round_no % cfg.frontier_compact_every == 0
+        # cadence counts ROUNDS SINCE THE LAST COMPACTION, not
+        # round_no % cadence: admin rounds consume round numbers without
+        # refilling, so the modulo form could stretch the gap between
+        # refills to 2×cadence−1 dispatch rounds against a head sized
+        # for `cadence` — per-host starvation the head_rows==0 guard
+        # does not catch (it only sees a FULLY empty head).
+        last_compact = int(prev_stats.get("last_compact_round", 0))
+        compact = round_no - last_compact >= cfg.frontier_compact_every
         # dispatch ≤ head; below the measured crossover the
         # single-window sequencing path skips the ranged path's extra
         # jobs — above it, the one-task sort of the whole dispatch set
@@ -322,14 +331,19 @@ class CrawlEngine:
         # degrades this round to the exact anti-join and refolds the
         # FULL seen set into a clean state below (dedup.py drops the
         # mismatched blobs).
-        # url_seen Hive layout: established at round 1 from config, then
-        # carried via the checkpoint so resumes (under any config) keep
-        # writing the SAME layout — mixed round layouts don't read.
-        seen_layout_parts = (
-            cfg.bloom_parts
-            if (cfg.partition_url_seen and round_no == 1)
-            else prev_stats.get("url_seen_parts")
-        )
+        # url_seen Hive layout: established on the FIRST round that will
+        # write seen rows (no layout recorded, nothing written yet —
+        # "round 1" would silently disable partitioning forever if an
+        # admin round consumed that number first), then carried via the
+        # checkpoint so resumes (under any config) keep writing the SAME
+        # layout — mixed round layouts don't read.
+        seen_layout_parts = prev_stats.get("url_seen_parts")
+        if (
+            seen_layout_parts is None
+            and cfg.partition_url_seen
+            and seen_count_prev == 0
+        ):
+            seen_layout_parts = cfg.bloom_parts
         stored_parts = prev_stats.get("filters_parts")
         # kind mismatch (bloom blobs probed as cuckoo tables or vice versa)
         # is as corrupting as a parts mismatch — same rebuild path.
@@ -597,10 +611,14 @@ class CrawlEngine:
                 "url_seen_parts": seen_layout_parts,
                 "head_rows": n_head,
                 "head_k": head_k,
+                "last_compact_round": round_no if compact else last_compact,
             },
         )
 
         to_unpersist = [ranked, dispatch, fetched, expansion, merged]
+        probe_cache = getattr(fresh, "_probe_cache", None)
+        if probe_cache is not None:
+            to_unpersist.append(probe_cache)
         if full is not None:
             to_unpersist.append(full)
         if tail_live is not None:
@@ -657,12 +675,20 @@ class CrawlEngine:
         if st.has_partitions("url_seen"):
             # layout-aware read: the Hive seen_part column (present iff
             # the store was bootstrapped with partition_url_seen) rides
-            # along so the exact verify can prune on it
-            raw = st.read("url_seen")
-            keep = ["url_hash", "first_round"] + (
-                ["seen_part"] if "seen_part" in raw.columns else []
+            # along so the exact verify can prune on it.  Whether the
+            # layout carries it is already recorded in the checkpoint
+            # (url_seen_parts), so build the schema from the stat — a
+            # schemaless read would re-list + footer-infer EVERY round
+            # directory on every call, a per-round job that grows with
+            # crawl length.
+            has_part = ((st.committed() or {}).get("stats", {})).get(
+                "url_seen_parts"
+            ) is not None
+            schema = T.StructType(
+                list(S.URL_SEEN.fields)
+                + ([T.StructField("seen_part", T.IntegerType(), True)] if has_part else [])
             )
-            seen = raw.select(*keep)
+            seen = st.read("url_seen", schema)
         else:
             seen = st.read("url_seen", S.URL_SEEN).select("url_hash", "first_round")
         if st.has_partitions("url_seen_del"):
@@ -735,7 +761,15 @@ class CrawlEngine:
 
         n_enq = 0
         if candidates is not None:
-            head_k = self._head_k()
+            # merge under the STORED head sizing, not the current
+            # config's: an admin round never refills the head from the
+            # tail, so stamping the current head_k here would satisfy
+            # run_round's config-change guard (prev head_k == head_k)
+            # while the stored head is still sized for the OLD config —
+            # hosts would run dry mid-cycle with their tail rows
+            # unreachable.  Keeping the stored value leaves the guard
+            # armed; the next crawl round performs the real refill.
+            head_k = int(stats.get("head_k", self._head_k()))
             cand = candidates
             if "page" not in cand.columns:
                 cand = cand.withColumn("page", F.lit(0))

@@ -157,10 +157,18 @@ def pagerank(
         .persist()
     )
     deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(deg, "e_src").persist()
     base = (100 - damping_pct) * 10_000
     # one tiny job; also materializes the nodes cache before the loop
     small_ranks = nodes.count() <= broadcast_max_nodes
+    ew = e.join(deg, "e_src")
+    if not small_ranks:
+        # big-graph regime: the per-iteration join shuffles on e_src, so
+        # persist the edge frame ALREADY hash-partitioned by e_src —
+        # without the explicit repartition Catalyst may broadcast `deg`
+        # and cache ew under the upstream distinct's (src,dst) layout,
+        # re-shuffling the full edge table every iteration
+        ew = ew.repartition("e_src")
+    ew = ew.persist()
     ranks = nodes.select(
         "node", F.lit(1_000_000).cast("long").alias("rank_micros")
     )
@@ -209,11 +217,15 @@ def resolve_chains(
     loop over collected rows).
 
     Each jump row carries its true hop WEIGHT, so compositions
-    accumulate exact path lengths; a cycle never terminates at a fixed
-    point, so iteration is capped at ``max_hops`` doublings and rows
-    still in flight past the cap keep their partial (final-so-far,
-    hops) — callers that must reject cycles can filter hops >=
-    2**max_hops.  Crawl semantics per the reference's fetch loop:
+    accumulate exact path lengths.  ``max_hops`` is the longest chain
+    guaranteed resolved: ``bit_length(max_hops)`` doubling rounds cover
+    ``2**bit_length(max_hops) > max_hops`` hops.  A cycle never reaches
+    a terminal, so its row keeps composing every round and finishes
+    with ``hops == 2**rounds > max_hops``, while a legitimately
+    resolved chain's hops is its exact length ``<= max_hops`` —
+    callers that must reject cycles filter ``hops > max_hops`` (an
+    arbitrary mid-cycle node is reported as ``final`` for such rows).
+    Crawl semantics per the reference's fetch loop:
     colly follows HTTP redirects internally (a fetched URL IS its
     terminal target); this operator makes the hop explicit so the
     URL-seen set can store canonical terminals.

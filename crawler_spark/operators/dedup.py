@@ -314,15 +314,26 @@ def anti_join_seen_partitioned(
     flagged = cand_k.cogroup(filters_state.groupBy("part_id")).applyInPandas(
         probe, schema=out_schema
     )
+    pruning = prune_seen_parts and "seen_part" in seen.columns
+    if pruning:
+        # the prune's distinct-part collect is EAGER: without a persist
+        # it would execute the whole probe pipeline once for the part
+        # list and AGAIN for the anti-join.  Cache it; the caller
+        # unpersists via the ``_probe_cache`` attribute after the round
+        # materializes (engine.run_round's per-round unpersist list).
+        flagged = flagged.persist()
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
     seen_keys = seen
-    if prune_seen_parts and "seen_part" in seen.columns:
+    if pruning:
         seen_keys = prune_seen_to_maybe_parts(seen, needs_check, n_parts)
     checked = needs_check.join(
         seen_keys.select("url_hash"), "url_hash", "left_anti"
     )
-    return definitely_new.unionByName(checked)
+    out = definitely_new.unionByName(checked)
+    if pruning:
+        out._probe_cache = flagged
+    return out
 
 
 def anti_join_seen_with_delta(
@@ -349,4 +360,7 @@ def anti_join_seen_with_delta(
     base = anti_join_seen_partitioned(
         candidates, seen_prev, filters_state, n_parts, prune_seen_parts
     )
-    return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    out = base.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    if hasattr(base, "_probe_cache"):
+        out._probe_cache = base._probe_cache
+    return out

@@ -358,17 +358,26 @@ def anti_join_seen_partitioned(
     flagged = cand_k.cogroup(filters_state.groupBy("part_id")).applyInPandas(
         probe, schema=out_schema
     )
+    pruning = prune_seen_parts and "seen_part" in seen.columns
+    if pruning:
+        # persist: the prune's eager part-list collect would otherwise
+        # run the probe once for the list and again for the anti-join
+        # (caller unpersists via ``_probe_cache``, as in the Bloom arm)
+        flagged = flagged.persist()
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
     seen_keys = seen
-    if prune_seen_parts and "seen_part" in seen.columns:
+    if pruning:
         from .dedup import prune_seen_to_maybe_parts
 
         seen_keys = prune_seen_to_maybe_parts(seen, needs_check, n_parts)
     checked = needs_check.join(
         seen_keys.select("url_hash"), "url_hash", "left_anti"
     )
-    return definitely_new.unionByName(checked)
+    out = definitely_new.unionByName(checked)
+    if pruning:
+        out._probe_cache = flagged
+    return out
 
 
 def anti_join_seen_with_delta(
@@ -386,4 +395,7 @@ def anti_join_seen_with_delta(
     base = anti_join_seen_partitioned(
         candidates, seen_prev, filters_state, n_parts, prune_seen_parts
     )
-    return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    out = base.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    if hasattr(base, "_probe_cache"):
+        out._probe_cache = base._probe_cache
+    return out

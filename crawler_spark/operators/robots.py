@@ -49,24 +49,29 @@ def split_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
 # single-prefix gate above stays the engine/fixture contract; this is
 # the full-grammar operator a general crawler runs at frontier insert.
 #
-# Pattern grammar accepted here (and enforced by callers): literal path
-# octets, ``*`` matching any run of characters, optional trailing ``$``
-# anchoring the match at end-of-path.  The translation to a regex is
-# shared verbatim with the DuckDB oracle (q_robots_rfc_gate):
+# Pattern grammar: literal path octets, ``*`` matching any run of
+# characters, optional trailing ``$`` anchoring the match at
+# end-of-path.  The translation to a regex is shared verbatim with the
+# DuckDB oracle (q_robots_rfc_gate):
 #
 #   body  = pattern minus one trailing '$' (its presence → anchored)
-#   rx    = '^' + body.replace('.', '\.').replace('*', '.*') + ('$' if anchored)
+#   rx    = '^' + escape(body, keep='*').replace('*', '.*') + ('$' if anchored)
 #
-# Only ``.`` needs escaping: robots path patterns otherwise contain no
-# characters that are metacharacters in BOTH Java regex and RE2, and the
-# translated class (literals + ``.*``) is linear-time in either engine.
+# escape() backslash-escapes EVERY character outside [A-Za-z0-9/*] —
+# real robots.txt paths routinely carry '?', '+', '=', '(' … (e.g. the
+# ubiquitous ``Disallow: /*?``), which are live metacharacters if left
+# bare.  Escaped punctuation is a literal in BOTH Java regex and RE2
+# (escaped alphanumerics are NOT portable, hence the allowlist class),
+# and the translated form (literals + ``.*``) is linear-time in either
+# engine.
 
 
 def _rule_regex(pattern):
     body = F.when(pattern.endswith("$"), F.substring(pattern, 1, F.length(pattern) - 1)).otherwise(
         pattern
     )
-    rx_body = F.replace(F.replace(body, F.lit("."), F.lit(r"\.")), F.lit("*"), F.lit(".*"))
+    escaped = F.regexp_replace(body, r"([^A-Za-z0-9/*])", r"\\$1")
+    rx_body = F.replace(escaped, F.lit("*"), F.lit(".*"))
     return F.concat(
         F.lit("^"), rx_body, F.when(pattern.endswith("$"), F.lit("$")).otherwise(F.lit(""))
     )

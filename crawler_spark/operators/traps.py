@@ -33,11 +33,20 @@ def url_shape(urls: DataFrame, host_col: str = "host", path_col: str = "path") -
     array — per-row, no shuffle).
     """
     segs = F.filter(F.split(F.col(path_col), "/"), lambda s: s != "")
+    # "some segment ≥3×" needs the per-segment max count, not the total
+    # duplicate excess: /2024/01/g/g/p/p has excess 2 from two
+    # legitimately doubled segments and is NOT a recursion trap.  The
+    # nested filter is O(depth²) per row but paths are short and it
+    # stays whole-stage codegen (no shuffle, no UDF).
+    loop = F.exists(
+        F.array_distinct(segs),
+        lambda d: F.size(F.filter(segs, lambda s: s == d)) >= F.lit(3),
+    )
     return urls.select(
         F.col(host_col).alias("host"),
         F.col(path_col).alias("path"),
         F.size(segs).cast("long").alias("depth"),
-        (F.size(segs) - F.size(F.array_distinct(segs)) >= F.lit(2)).alias("is_loop"),
+        loop.alias("is_loop"),
     )
 
 

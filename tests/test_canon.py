@@ -72,6 +72,10 @@ def test_full_canonical_rfc3986(spark):
         ("https://h.example/a?", "https://h.example/a"),
         ("https://h.example/a#only-frag", "https://h.example/a"),
         ("https://h.example/a?single=1", "https://h.example/a?single=1"),
+        # bracketed IPv6 authorities: ':' inside the host is not a port
+        ("http://[::1]/a", "http://[::1]/a"),
+        ("HTTP://[2001:DB8::2]:80/a", "http://[2001:db8::2]/a"),
+        ("https://[2001:db8::2]:8443/a?b=1", "https://[2001:db8::2]:8443/a?b=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     out = {

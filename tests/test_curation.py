@@ -97,6 +97,8 @@ def test_url_shape_loop_detection(spark):
             ("h", "/a/b/a/b/a"),  # 'a' ×3 → loop
             ("h", "/a/b/a"),  # 'a' ×2 → not a loop
             ("h", "/x/y/z"),
+            ("h", "/g/g/p/p"),  # two DOUBLED segments: excess 2 but no ×3 → not a loop
+            ("h", "/g/g/g/p/p"),  # 'g' ×3 among other dups → loop
         ],
         "host string, path string",
     )
@@ -104,6 +106,8 @@ def test_url_shape_loop_detection(spark):
     assert got["/a/b/a/b/a"]["is_loop"] and got["/a/b/a/b/a"]["depth"] == 5
     assert not got["/a/b/a"]["is_loop"]
     assert not got["/x/y/z"]["is_loop"]
+    assert not got["/g/g/p/p"]["is_loop"]
+    assert got["/g/g/g/p/p"]["is_loop"]
 
 
 def test_trap_verdict_thresholds(spark):

@@ -548,3 +548,88 @@ def test_partitioned_url_seen_layout_equivalence(spark, fixture_paths, tmp_path,
 
     assert later and all(_layout_ok(d) for d in later)
     assert _spark_outputs(store) == _spark_outputs(full_store)
+
+
+def test_admin_round_preserves_stored_head_sizing(spark, fixture_paths, tmp_path):
+    """enqueue() under a CHANGED config must not stamp the new head_k
+    into the checkpoint: an admin round never refills the head from the
+    tail, so stamping would disarm run_round's config-change refill
+    guard and the next rounds would dispatch from an undersized head."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "admin-headk")
+    store, engine = _make_engine(
+        spark, fixture_paths, root,
+        CrawlConfig(base_budget=BUDGET, max_rounds=2, frontier_compact_every=8),
+    )
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))
+    assert store.committed()["stats"]["head_k"] == BUDGET * 8
+
+    _, engine2 = _make_engine(
+        spark, fixture_paths, root,
+        CrawlConfig(base_budget=BUDGET, max_rounds=4, frontier_compact_every=16),
+    )
+    fresh = spark.read.parquet(fixture_paths["seeds"]).withColumn(
+        "url", F.concat("url", F.lit("?late=1"))
+    )
+    res = engine2.enqueue(fresh)
+    assert res["n_enqueued"] > 0
+    # the admin commit still carries the OLD sizing → the guard stays armed
+    assert store.committed()["stats"]["head_k"] == BUDGET * 8
+    # ... and the next crawl round performs the real refill under the new one
+    engine2.run(resume=True)
+    assert store.committed()["stats"]["head_k"] == BUDGET * 16
+
+
+def test_admin_round_does_not_stretch_compaction_cadence(spark, fixture_paths, tmp_path):
+    """Compaction counts rounds SINCE THE LAST compaction, not
+    round_no % cadence: an admin round consuming a cadence-multiple
+    round number must not push the next refill a full extra cycle out."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "admin-cadence")
+    cfg = CrawlConfig(base_budget=BUDGET, max_rounds=2, frontier_compact_every=3)
+    store, engine = _make_engine(spark, fixture_paths, root, cfg)
+    engine.run(spark.read.parquet(fixture_paths["seeds"]))  # rounds 1-2
+    assert store.committed()["stats"]["last_compact_round"] == 0
+
+    fresh = spark.read.parquet(fixture_paths["seeds"]).withColumn(
+        "url", F.concat("url", F.lit("?late=1"))
+    )
+    engine.enqueue(fresh)  # admin round 3 — the round the modulo form needed
+    _, engine2 = _make_engine(
+        spark, fixture_paths, root,
+        CrawlConfig(base_budget=BUDGET, max_rounds=4, frontier_compact_every=3),
+    )
+    engine2.run(resume=True)  # crawl round 4: 4 − 0 ≥ 3 → compacts NOW
+    assert store.committed()["stats"]["last_compact_round"] == 4
+
+
+def test_admin_round_first_does_not_disable_seen_partitioning(
+    spark, fixture_paths, tmp_path
+):
+    """partition_url_seen must key off 'nothing written yet', not
+    'round_no == 1': an enqueue() that consumes round 1 before the first
+    crawl round must not silently disable the Hive seen_part layout."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "admin-pseen")
+    cfg = CrawlConfig(
+        base_budget=BUDGET,
+        max_rounds=3,
+        partition_url_seen=True,
+        seen_prune_min_keys=1,
+        bloom_min_keys=1,
+        bloom_parts=8,
+    )
+    store, engine = _make_engine(spark, fixture_paths, root, cfg)
+    engine.bootstrap(spark.read.parquet(fixture_paths["seeds"]))
+    fresh = spark.read.parquet(fixture_paths["seeds"]).withColumn(
+        "url", F.concat("url", F.lit("?late=1"))
+    )
+    res = engine.enqueue(fresh)  # admin round takes round number 1
+    assert res["round"] == 1 and res["n_enqueued"] > 0
+    engine.run(resume=True)  # first crawl round is 2
+    assert store.committed()["stats"]["url_seen_parts"] == 8
+    d2 = os.path.join(root, "url_seen", "round=2")
+    assert any(x.startswith("seen_part=") for x in os.listdir(d2))

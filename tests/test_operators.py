@@ -103,6 +103,10 @@ def test_rfc_robots_semantics(spark):
         (7, "a", "/a.b", False, 4),                    # the escaped-dot rule matches
         (8, "b", "/private/doc.pdf", True, 0),         # rule-less host
         (9, "a", "/files/x/y/b", False, 11),           # '*' spans multiple segments
+        (10, "a", "/q/search?page=2", False, 10),      # '?' literal in rule (escape)
+        (11, "a", "/q/searchpage=2", True, 0),         # '?' is NOT an optional-char
+        (12, "a", "/w/anything?x=1", False, 5),        # the classic 'Disallow: /w/*?'
+        (13, "a", "/w/no-query", True, 0),
     ]
     cand = spark.createDataFrame(
         [(i, h, p) for i, h, p, _, _ in cases], "id: long, host: string, path: string"
@@ -116,6 +120,8 @@ def test_rfc_robots_semantics(spark):
             ("a", "disallow", "/tie/a"),
             ("a", "disallow", "/a.b"),
             ("a", "disallow", "/files/*/b$"),
+            ("a", "disallow", "/q/search?"),
+            ("a", "disallow", "/w/*?"),
         ],
         "host string, rule_type string, pattern string",
     )
@@ -703,6 +709,8 @@ def test_rfc_robots_matches_python_reference(spark):
             i = rng.randint(1, len(p) - 1)
             p = p[:i] + "*" + p[i:]
         if rng.random() < 0.3:
+            p += rng.choice(["?", "?id=", "+x", "(v)"])  # live-metachar octets
+        if rng.random() < 0.3:
             p += "$"
         return p
 
@@ -716,6 +724,8 @@ def test_rfc_robots_matches_python_reference(spark):
         p = "".join("/" + seg() for _ in range(rng.randint(1, 4)))
         if rng.random() < 0.3:
             p += rng.choice([".pdf", ".html", ""])
+        if rng.random() < 0.3:
+            p += rng.choice(["?id=7", "?", "+x", "(v)"])
         paths.append((i, rng.choice(hosts), p))
 
     def py_match(path, pattern):
