@@ -287,6 +287,28 @@ def _cpu_util(before: dict, after: dict, cores: range) -> float:
     return round(busy / tot, 3) if tot else float("nan")
 
 
+def resolve_out_path(out_path: str, n_seeds: int) -> str:
+    """Headline protection (same rule as merge_scaling_runs --write): a
+    SMALLER-fixture run must never silently replace a recorded larger
+    one — a quick smoke run with SCALING_N_SEEDS=200 would otherwise
+    overwrite the criterion number in place.  Divert it next to the
+    headline instead and say so."""
+    if os.path.isfile(out_path):
+        try:
+            prev_seeds = int(json.load(open(out_path)).get("n_seeds", 0))
+        except (OSError, ValueError):
+            prev_seeds = 0
+        if n_seeds < prev_seeds:
+            diverted = out_path + ".smaller-fixture"
+            print(
+                f"scaling_bench: fixture ({n_seeds} seeds) is smaller than "
+                f"the recorded headline's ({prev_seeds}); writing {diverted} "
+                "instead (set SCALING_OUT to override)."
+            )
+            return diverted
+    return out_path
+
+
 def main() -> int:
     if sys.argv[1:2] == ["--worker"]:
         if len(sys.argv) < 4:
@@ -434,7 +456,9 @@ def main() -> int:
     # SCALING_OUT: alternate result path, so a follow-up fixture-size
     # run (e.g. the pre-registered 40k measurement) does not clobber
     # the merged criterion SCALING.json
-    out_path = os.environ.get("SCALING_OUT", os.path.join(REPO, "SCALING.json"))
+    out_path = resolve_out_path(
+        os.environ.get("SCALING_OUT", os.path.join(REPO, "SCALING.json")), N_SEEDS
+    )
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     return 0

@@ -499,3 +499,23 @@ def test_out_flag_requires_operand(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv + ["--write", "--out"])
     with pytest.raises(SystemExit, match="--out requires"):
         msr.main()
+
+
+def test_resolve_out_path_protects_larger_headline(tmp_path, capsys):
+    """A smaller-fixture run must be DIVERTED, never silently replace a
+    recorded larger headline; equal-or-larger fixtures and fresh paths
+    write in place (the guard that stops a SCALING_N_SEEDS=200 smoke
+    run from clobbering the 40k criterion number)."""
+    out = str(tmp_path / "SCALING.json")
+    # fresh path → in place
+    assert sb.resolve_out_path(out, 200) == out
+    json.dump({"n_seeds": 40000}, open(out, "w"))
+    # smaller run → diverted, with a printed notice
+    assert sb.resolve_out_path(out, 200) == out + ".smaller-fixture"
+    assert "smaller" in capsys.readouterr().out
+    # same or larger fixture → in place (legitimate re-measure)
+    assert sb.resolve_out_path(out, 40000) == out
+    assert sb.resolve_out_path(out, 80000) == out
+    # unreadable existing file → fail open (in place)
+    open(out, "w").write("not json")
+    assert sb.resolve_out_path(out, 200) == out
