@@ -55,6 +55,7 @@ HEADLINE = [
     "q_histogram",
     "q_corpus_filter",
     "q_chunk_dedup",
+    "q_substring_dedup",
     "q_boilerplate",
     "q_pii_scrub",
     "q_source_quality",

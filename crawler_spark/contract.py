@@ -1271,6 +1271,31 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+def q_substring_dedup(spark, sf):
+    """Exact substring-level dedup signals (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many token positions are covered by a token 10-gram
+    occurring ≥2 times ANYWHERE in the corpus (within-doc repeats
+    included, as ExactSubstr counts them).  Output per doc: token
+    count, duplicated-gram occurrence count, distinct covered token
+    positions, and integer per-mille coverage — the signal a corpus
+    build thresholds to drop or trim boilerplate-heavy spans at the
+    granularity BETWEEN whole-doc near-dup and C4 three-sentence
+    chunks (q_chunk_dedup).
+
+    Scale shape: one explode to (doc, pos, gram-hash) rows — the
+    standard fixed-N approximation of suffix-array ExactSubstr, which
+    needs no global suffix sort — then a combiner-backed count keyed on
+    the int64 portable hash, a same-key join back (exchange reuse), a
+    bounded ×10 position explode, and one per-doc aggregate.  No
+    windows, no driver state; duplicated-gram skew is capped by the
+    count table being gh-keyed (a corpus-wide boilerplate gram is ONE
+    counter row)."""
+    from .functions.curation import substring_dup_stats
+
+    return substring_dup_stats(_t(spark, sf, "documents"), n=10)
+
+
 def q_tfidf_topk(spark, sf):
     """Per-document top-3 terms by smoothed TF-IDF — explode, two
     hash-aggregations (term frequency; document frequency), a term-keyed
@@ -2189,6 +2214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_topk": q_bigram_topk,
     "q_repetition_ratio": q_repetition_ratio,
     "q_lm_score": q_lm_score,
+    "q_substring_dedup": q_substring_dedup,
     "q_tfidf_topk": q_tfidf_topk,
     "q_train_split": q_train_split,
     "q_stratified_sample": q_stratified_sample,
@@ -3255,6 +3281,31 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_tok
         FROM t2 JOIN c USING (term)
         GROUP BY doc_id
+    """,
+    "q_substring_dedup": f"""
+        WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                   FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     {_md5i("array_to_string(t[i:i+9], ' ')")} AS gh
+              FROM d, LATERAL unnest(generate_series(1, len(t) - 9)) AS u(i)),
+        c AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        o AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gh)),
+        cov AS (
+          SELECT doc_id,
+                 count(DISTINCT pos) AS n_dup_grams,
+                 count(DISTINCT ti) AS dup_cover_tokens
+          FROM (SELECT doc_id, pos,
+                       unnest(generate_series(pos, pos + 9)) AS ti
+                FROM o)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(cov.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CAST(coalesce(cov.dup_cover_tokens, 0) AS BIGINT)
+                 AS dup_cover_tokens,
+               CAST(1000 * coalesce(cov.dup_cover_tokens, 0)
+                    // greatest(len(d.t), 1) AS BIGINT) AS dup_permille
+        FROM d LEFT JOIN cov USING (doc_id)
     """,
     "q_tfidf_topk": f"""
         WITH tok AS (

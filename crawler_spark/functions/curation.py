@@ -243,3 +243,57 @@ def source_quality(docs: DataFrame) -> DataFrame:
         "src_mean_bp",
         (F.col("quality_bp") * 2 >= F.col("src_mean_bp")).alias("kept"),
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup signals (Lee et al. 2022): per doc,
+    token positions covered by a token ``n``-gram occurring >=2 times
+    anywhere in the corpus (within-doc repeats included, as ExactSubstr
+    counts them).  Fixed-N approximation of suffix-array ExactSubstr —
+    no global suffix sort; one gram explode, a combiner-backed count on
+    the portable int64 gram hash, a same-key join back, a bounded xN
+    position explode, one per-doc aggregate.
+
+    Returns (id, n_tokens, n_dup_grams, dup_cover_tokens,
+    dup_permille) — integer-exact, oracle-mirrored by
+    contract.q_substring_dedup."""
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(TX.token_ngrams_all(text_col, n)).alias("pos0", "gram"),
+    ).select(
+        "_id",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, mirrors generate_series
+        TX.md5_int60(F.col("gram")).alias("gh"),
+    )
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    occ = grams.join(dup.select("gh"), "gh")
+    stats = (
+        occ.select(
+            "_id",
+            "pos",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("ti"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.countDistinct("pos").alias("n_dup_grams"),
+            F.countDistinct("ti").alias("dup_cover_tokens"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(TX.token_array(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(stats, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("dup_cover_tokens", F.lit(0)).cast("long").alias("dup_cover_tokens"),
+        F.expr(
+            "div(1000 * coalesce(dup_cover_tokens, 0L), greatest(n_tokens, 1L))"
+        ).alias("dup_permille"),
+    )

@@ -266,3 +266,37 @@ def test_collapse_mirrors_drops_larger_host_broadcast(spark):
     assert sorted(r["url"] for r in out.collect()) == ["u1", "u3"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_substring_dup_stats_span_coverage(spark):
+    """ExactSubstr-style pins with n=3 grams: a shared 3-gram covers
+    exactly its 3 positions in BOTH docs; overlapping duplicated grams
+    merge their covered spans (distinct positions, not 3x occurrences);
+    a within-doc repeat counts (corpus-wide >=2 includes same-doc); a
+    short doc (<n tokens) reports zeros, not a dropped row."""
+    from crawler_spark.functions.curation import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z q"),       # 'a b c' shared with doc 2
+            (2, "p q r a b c"),         # -> cover 3 tokens each
+            (3, "u v w u v w u v w"),   # within-doc repeats: 'u v w'-family
+            (4, "t1 t2"),               # shorter than n: zeros
+            (5, "m n o p2 m n o"),      # 'm n o' twice in ONE doc -> covered
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_dup_grams"], r["dup_cover_tokens"], r["dup_permille"]
+        )
+        for r in substring_dup_stats(docs, n=3).collect()
+    }
+    assert got[1] == (7, 1, 3, 428)  # 1000*3 div 7
+    assert got[2] == (6, 1, 3, 500)
+    # doc 3: grams at pos 1..7; 'u v w' x3, 'v w u' x2, 'w u v' x2 ->
+    # all 7 gram starts duplicated, covering all 9 positions
+    assert got[3] == (9, 7, 9, 1000)
+    assert got[4] == (2, 0, 0, 0)
+    # doc 5: 'm n o' at pos 1 and 5 -> 6 covered positions of 7
+    assert got[5] == (7, 2, 6, 857)
