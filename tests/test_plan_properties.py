@@ -426,3 +426,31 @@ def test_incremental_neardup_broadcasts_the_delta(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_canon_full_is_pure_projection(spark, sf_dir):
+    """RFC 3986 normalization is a narrow per-row rewrite: the plan
+    must be scan → project inside whole-stage codegen — ANY exchange
+    here would mean the canonicalizer shuffles 10^10 URLs to rewrite
+    strings."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_url_canon_full(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    # higher-order fns (array_sort's comparator lambda) opt the project
+    # out of whole-stage codegen, but it must stay a JVM projection —
+    # never a Python evaluation node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.lstrip().startswith("Project"), plan
+
+
+def test_substring_dedup_no_cartesian_single_gram_key(spark, sf_dir):
+    """The duplicated-gram join must be an equi-join on the int64 gram
+    hash (never cartesian/nested-loop), and the count side must carry a
+    partial aggregate so a corpus-wide boilerplate gram folds map-side
+    before the exchange."""
+    from crawler_spark import contract as C
+
+    plan = _plan(C.q_substring_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final count(gh)
