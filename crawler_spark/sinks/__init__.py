@@ -60,6 +60,17 @@ TABLE_PARTITIONS = {"results": ["schema_name", "schema_version"]}
 OPTIONAL_TABLE_PARTITIONS = {"url_seen": ["seen_part"]}
 
 
+def _round_of(dirname: str) -> int | None:
+    """Round number of a ``round=N`` partition dir; None for anything
+    else (stray editor/tmp dirs must be ignored, not crash every read)."""
+    if not dirname.startswith("round="):
+        return None
+    try:
+        return int(dirname.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 class StateStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -172,7 +183,18 @@ class StateStore:
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".ckpt.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f, indent=1)
+            # durability before visibility: without the fsync pair a
+            # power loss after os.replace can publish an EMPTY checkpoint
+            # (rename journaled before data), which fails loudly on the
+            # next committed() parse but loses the crawl's resume point
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._ckpt_path())
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # ------------------------------------------------------------- read
     def snapshots(self) -> list[int]:
@@ -205,10 +227,9 @@ class StateStore:
             return []
         out = []
         for d in os.listdir(base):
-            if d.startswith("round="):
-                r = int(d.split("=", 1)[1])
-                if r <= upto:
-                    out.append((r, os.path.join(base, d)))
+            r = _round_of(d)
+            if r is not None and r <= upto:
+                out.append((r, os.path.join(base, d)))
         # numeric sort: lexicographic would rank round=9 above round=10,
         # corrupting rewrite-table "latest" reads
         return [p for _, p in sorted(out)]
@@ -252,9 +273,8 @@ class StateStore:
         if not os.path.isdir(base):
             return -1
         rounds = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(base)
-            if d.startswith("round=") and int(d.split("=", 1)[1]) <= upto
+            r for r in (_round_of(d) for d in os.listdir(base))
+            if r is not None and r <= upto
         ]
         return max(rounds) if rounds else -1
 
@@ -344,5 +364,6 @@ class StateStore:
             if not os.path.isdir(base):
                 continue
             for d in os.listdir(base):
-                if d.startswith("round=") and int(d.split("=", 1)[1]) > r:
+                rd = _round_of(d)
+                if rd is not None and rd > r:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)

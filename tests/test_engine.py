@@ -633,3 +633,25 @@ def test_admin_round_first_does_not_disable_seen_partitioning(
     assert store.committed()["stats"]["url_seen_parts"] == 8
     d2 = os.path.join(root, "url_seen", "round=2")
     assert any(x.startswith("seen_part=") for x in os.listdir(d2))
+
+
+def test_store_ignores_stray_round_dirs(spark, tmp_path):
+    """A stray non-numeric ``round=...`` dir (editor/tmp debris) must be
+    ignored by every store read path — not crash reads, base-round
+    resolution, or vacuum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crawler_spark.sinks import StateStore
+
+    root = str(tmp_path / "stray")
+    st = StateStore(spark, root)
+    sch = T.StructType([T.StructField("x", T.LongType())])
+    st.write_partition("metrics", 0, spark.range(5).select(F.col("id").alias("x")), 1)
+    st.commit(0, {})
+    os.makedirs(os.path.join(root, "metrics", "round=tmpjunk"))
+    os.makedirs(os.path.join(root, "frontier_base", "round=abc"))
+    assert st.read("metrics", sch).count() == 5
+    assert st._latest_base_round(0) == -1
+    st.vacuum_uncommitted()  # must not raise on the stray dirs
+    assert st.committed()["round"] == 0
