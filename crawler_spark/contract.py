@@ -1463,17 +1463,33 @@ def q_stratified_sample(spark, sf):
     )
 
 
+_DUP_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _dup_cc(spark, sf):
-    """Shared by q_dup_clusters / q_neardup_dedup (mirrors the oracle
-    side's _DUP_CC_CTE): exact n-gram-Jaccard pairs at threshold 0.4 —
-    the constant the oracle CTE hard-codes — resolved to components."""
+    """Shared by q_dup_clusters / q_neardup_dedup / q_cluster_canonical
+    (mirrors the oracle side's _DUP_CC_CTE): exact n-gram-Jaccard pairs
+    at threshold 0.4 — the constant the oracle CTE hard-codes —
+    resolved to components.
+
+    Memoized per (session, sf) like _host_pagerank:
+    connected_components returns an eager localCheckpoint (materialized
+    O(docs) labels), so the three cluster consumers reuse ONE pair
+    generation + label propagation instead of recomputing the most
+    expensive kernel in the contract three times."""
     from .functions.graph import connected_components
 
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _DUP_CC_MEMO.get(key)
+    if hit is not None:
+        return hit
     docs = _t(spark, sf, "documents")
     pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
-    return connected_components(
+    out = connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )
+    _DUP_CC_MEMO[key] = out
+    return out
 
 
 def q_dup_clusters(spark, sf):

@@ -98,3 +98,9 @@ def test_host_pagerank_memo_keyed_by_sf(spark):
     b = C._host_pagerank(spark, "/root/testdata/sf0.01")
     assert a1 is a2
     assert a1 is not b
+    # same contract for the near-dup component memo (three consumers)
+    c1 = C._dup_cc(spark, "/root/testdata/sf0.001")
+    c2 = C._dup_cc(spark, "/root/testdata/sf0.001")
+    d = C._dup_cc(spark, "/root/testdata/sf0.01")
+    assert c1 is c2
+    assert c1 is not d
