@@ -76,7 +76,12 @@ def full_canonical_url_col(url: Column) -> Column:
     deliberately out of scope (needs a char-level decoder; the corpus
     keys it would merge are rare vs case/port/param-order variants)."""
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    authority = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    # drop userinfo ('user:pass@host') BEFORE the host/port split — its
+    # ':' is not a port separator, and credentials never belong in a
+    # canonical dedup key; substring_index(-1) takes after the LAST '@'
+    # (userinfo may not contain a bare '@', so last == the separator)
+    hostport = F.lower(F.substring_index(authority, "@", -1))
     # bracketed IPv6 literals ([::1], [2001:db8::2]:8080) carry ':' inside
     # the host — split on ']:' for those, plain ':' otherwise
     is_v6 = hostport.startswith("[")

@@ -2691,8 +2691,9 @@ ORACLES: dict[str, str] = {
           SELECT p_partkey, raw_url,
                  lower(regexp_extract(raw_url,
                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-                 lower(regexp_extract(raw_url,
-                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                 lower(regexp_extract(regexp_extract(raw_url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                   '([^@]*)$', 1)) AS hostport,
                  regexp_extract(raw_url,
                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
                  regexp_extract(split_part(raw_url, '#', 1), '\?(.*)$', 1) AS query

@@ -332,16 +332,18 @@ class CrawlEngine:
         # FULL seen set into a clean state below (dedup.py drops the
         # mismatched blobs).
         # url_seen Hive layout: established on the FIRST round that will
-        # write seen rows (no layout recorded, nothing written yet —
-        # "round 1" would silently disable partitioning forever if an
-        # admin round consumed that number first), then carried via the
-        # checkpoint so resumes (under any config) keep writing the SAME
-        # layout — mixed round layouts don't read.
+        # write seen rows (no layout recorded AND no url_seen partitions
+        # committed — "round 1" would silently disable partitioning
+        # forever if an admin round consumed that number first, and
+        # "seen_count == 0" would re-trigger establishment after a full
+        # recrawl invalidation over flat-layout rounds, mixing directory
+        # depths under one basePath), then carried via the checkpoint so
+        # resumes (under any config) keep writing the SAME layout.
         seen_layout_parts = prev_stats.get("url_seen_parts")
         if (
             seen_layout_parts is None
             and cfg.partition_url_seen
-            and seen_count_prev == 0
+            and not st.has_partitions("url_seen")
         ):
             seen_layout_parts = cfg.bloom_parts
         stored_parts = prev_stats.get("filters_parts")

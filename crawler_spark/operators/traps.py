@@ -29,8 +29,8 @@ def url_shape(urls: DataFrame, host_col: str = "host", path_col: str = "path") -
     """Per-URL shape row: (host, path, depth, is_loop).
 
     ``depth`` = number of non-empty path segments; ``is_loop`` = some
-    segment occurs ≥3 times (size vs distinct-size over the segment
-    array — per-row, no shuffle).
+    single segment occurs ≥3 times (per-segment max count — per-row
+    array expressions, no shuffle).
     """
     segs = F.filter(F.split(F.col(path_col), "/"), lambda s: s != "")
     # "some segment ≥3×" needs the per-segment max count, not the total

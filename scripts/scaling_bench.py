@@ -295,8 +295,12 @@ def resolve_out_path(out_path: str, n_seeds: int) -> str:
     headline instead and say so."""
     if os.path.isfile(out_path):
         try:
-            prev_seeds = int(json.load(open(out_path)).get("n_seeds", 0))
-        except (OSError, ValueError):
+            with open(out_path) as f:
+                prev_seeds = int(json.load(f).get("n_seeds", 0))
+        except Exception:
+            # unreadable / non-dict JSON / null n_seeds: nothing
+            # trustworthy to protect — fail open (write in place) rather
+            # than crash after a multi-hour measurement
             prev_seeds = 0
         if n_seeds < prev_seeds:
             diverted = out_path + ".smaller-fixture"
@@ -456,9 +460,10 @@ def main() -> int:
     # SCALING_OUT: alternate result path, so a follow-up fixture-size
     # run (e.g. the pre-registered 40k measurement) does not clobber
     # the merged criterion SCALING.json
-    out_path = resolve_out_path(
-        os.environ.get("SCALING_OUT", os.path.join(REPO, "SCALING.json")), N_SEEDS
-    )
+    # the diversion guard protects the repo's default headline file; an
+    # EXPLICIT SCALING_OUT is the user's own target and writes in place
+    out_env = os.environ.get("SCALING_OUT")
+    out_path = out_env or resolve_out_path(os.path.join(REPO, "SCALING.json"), N_SEEDS)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     return 0

@@ -516,6 +516,11 @@ def test_resolve_out_path_protects_larger_headline(tmp_path, capsys):
     # same or larger fixture → in place (legitimate re-measure)
     assert sb.resolve_out_path(out, 40000) == out
     assert sb.resolve_out_path(out, 80000) == out
-    # unreadable existing file → fail open (in place)
+    # unreadable / structurally-unexpected existing file → fail open
+    # (never crash after a multi-hour measurement)
     open(out, "w").write("not json")
+    assert sb.resolve_out_path(out, 200) == out
+    json.dump([], open(out, "w"))  # valid JSON, wrong shape
+    assert sb.resolve_out_path(out, 200) == out
+    json.dump({"n_seeds": None}, open(out, "w"))  # null n_seeds
     assert sb.resolve_out_path(out, 200) == out
