@@ -750,3 +750,36 @@ def test_rfc_robots_matches_python_reference(spark):
     }
     for i, h, p in paths:
         assert out[i] == py_verdict(h, p), (i, h, p, out[i], py_verdict(h, p))
+
+
+def test_pruned_anti_join_exposes_probe_cache_for_unpersist(spark):
+    """The pruned path persists its probe frame so the eager part-list
+    collect doesn't run the filter pipeline twice; the operator must
+    hand that frame to the caller via ``_probe_cache`` (the engine
+    appends it to the round's unpersist list) — in BOTH filter arms,
+    and through the with-delta wrapper's extra join."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators import dedup as D
+    from crawler_spark.operators import dedup_cuckoo as DC
+
+    seen = spark.range(0, 200, 2).select(
+        F.col("id").alias("url_hash"),
+        F.pmod("id", F.lit(8)).cast("int").alias("seen_part"),
+    )
+    cands = spark.range(0, 200).select(F.col("id").alias("url_hash"))
+    empty_new = spark.range(0).select(F.col("id").alias("url_hash"))
+    for M in (D, DC):
+        filters = M.update_seen_filters(
+            spark.createDataFrame([], M.FILTER_STATE_SCHEMA),
+            seen.select("url_hash"),
+            n_parts=8,
+        )
+        out = M.anti_join_seen_with_delta(
+            cands, seen, empty_new, filters, n_parts=8, prune_seen_parts=True
+        )
+        cache = getattr(out, "_probe_cache", None)
+        assert cache is not None, M.__name__
+        assert cache.is_cached, M.__name__
+        assert sorted(r["url_hash"] for r in out.collect()) == list(range(1, 200, 2))
+        cache.unpersist()
