@@ -99,13 +99,18 @@ def full_canonical_url_col(url: Column) -> Column:
     # inside the fragment ('/a#f?x') is fragment text, not a query
     query = F.regexp_extract(F.substring_index(url, "#", 1), r"\?(.*)$", 1)
     qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path,
-        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    # schemeless/relative inputs pass through unchanged — without this
+    # guard they reassembled to a '://'-prefixed fragment (r3 ADVICE);
+    # the q_url_canon_full oracle mirrors the same short-circuit
+    return F.when(scheme == "", url).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+        )
     )
 
 

@@ -14,6 +14,7 @@ Operator → query mapping is the one planned in SURVEY.md §2.8
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1463,33 +1464,80 @@ def q_stratified_sample(spark, sf):
     )
 
 
-_DUP_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DUP_CC_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# LRU cap (ADVICE r3): each memo entry pins an eagerly localCheckpointed
+# O(docs) label table on the executors for the session's lifetime; a
+# long-lived session sweeping scale factors would otherwise accumulate
+# them without bound.  Two entries cover every real access pattern
+# (bench sf + test sf); evicted entries are unpersisted.
+_DUP_CC_MEMO_MAX = 2
 
 
-def _dup_cc(spark, sf):
+def _dup_cc(spark, sf, pair_kind: str = "exact"):
     """Shared by q_dup_clusters / q_neardup_dedup / q_cluster_canonical
-    (mirrors the oracle side's _DUP_CC_CTE): exact n-gram-Jaccard pairs
-    at threshold 0.4 — the constant the oracle CTE hard-codes —
-    resolved to components.
+    (mirrors the oracle side's _DUP_CC_CTE): near-dup pairs at
+    threshold 0.4 — the constant the oracle CTE hard-codes — resolved
+    to components.
 
-    Memoized per (session, sf) like _host_pagerank:
+    ``pair_kind`` is the wired scale switch (VERDICT r3 item 4):
+
+    - ``"exact"`` (default): ``ngram_jaccard_pairs`` — the oracle-exact
+      kernel the DuckDB recursive CTE replays.  Right up to ~10^8 docs.
+    - ``"minhash"``: ``minhash_neardup_pairs`` — banded LSH candidates
+      + exact verification of candidates only.  The 10^10-doc path: all
+      pair-generation shuffles move (int64, int64) rows regardless of
+      corpus text size.  Same output contract (a, b at threshold 0.4),
+      recall governed by the banding curve; component equality vs the
+      exact kernel is pinned on the fixture corpus by
+      tests/test_functions.py::test_dup_cc_minhash_matches_exact.
+
+    Engine callers select the kind via ``dup_cc(...)`` below or the
+    ``SPARK_GRAFT_CC_PAIRS`` env var; the contract queries stay
+    ``"exact"`` so the oracle comparison is bit-faithful.
+
+    Memoized per (session, sf, kind) like _host_pagerank:
     connected_components returns an eager localCheckpoint (materialized
     O(docs) labels), so the three cluster consumers reuse ONE pair
     generation + label propagation instead of recomputing the most
     expensive kernel in the contract three times."""
     from .functions.graph import connected_components
 
-    key = (spark.sparkContext.applicationId, sf)
+    key = (spark.sparkContext.applicationId, sf, pair_kind)
     hit = _DUP_CC_MEMO.get(key)
     if hit is not None:
         return hit
     docs = _t(spark, sf, "documents")
-    pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
+    if pair_kind == "minhash":
+        pairs = ND.minhash_neardup_pairs(
+            docs, threshold=0.4, hash_fn=TX.md5_int60
+        ).select("a", "b")
+    elif pair_kind == "exact":
+        pairs = ND.ngram_jaccard_pairs(docs, threshold=0.4).select("a", "b")
+    else:
+        raise ValueError(f"pair_kind must be 'exact' or 'minhash', got {pair_kind!r}")
     out = connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )
+    while len(_DUP_CC_MEMO) >= _DUP_CC_MEMO_MAX:
+        oldest = next(iter(_DUP_CC_MEMO))
+        evicted = _DUP_CC_MEMO.pop(oldest)
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass
     _DUP_CC_MEMO[key] = out
     return out
+
+
+def dup_cc(spark, sf, pair_kind: str | None = None) -> DataFrame:
+    """Public component-table entry point with the scale switch
+    exposed: ``pair_kind=None`` reads ``SPARK_GRAFT_CC_PAIRS``
+    (default ``exact``), so a 10^10-doc deployment flips the whole
+    dedup family to the MinHash pair path with one config knob and no
+    code change."""
+    if pair_kind is None:
+        pair_kind = os.environ.get("SPARK_GRAFT_CC_PAIRS", "exact")
+    return _dup_cc(spark, sf, pair_kind)
 
 
 def q_dup_clusters(spark, sf):
@@ -2151,6 +2199,67 @@ def q_recrawl_schedule(spark, sf):
 # registry + oracles
 # =====================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ------------------------------------------------------------------
+    # Registry order is LOAD-BEARING: the round driver oracle-checks the
+    # FIRST 50 entries only.  The window below is the round-4 rotation
+    # (VERDICT r3 item 1): every oracle-backed query that had never been
+    # driver-checked, the three oracles upgraded from rows-only in r3,
+    # the fixed q_rollup, the never-checked rows-only multimodal block,
+    # then 11 previously-green canaries spanning every subsystem.
+    # Pinned by tests/test_registry_order.py -- edit both together.
+    # ------------------------------------------------------------------
+    "q_histogram": q_histogram,
+    "q_corpus_filter": q_corpus_filter,
+    "q_chunk_dedup": q_chunk_dedup,
+    "q_boilerplate": q_boilerplate,
+    "q_pii_scrub": q_pii_scrub,
+    "q_source_quality": q_source_quality,
+    "q_trap_detect": q_trap_detect,
+    "q_mirror_hosts": q_mirror_hosts,
+    "q_recrawl_schedule": q_recrawl_schedule,
+    "q_domain_cap": q_domain_cap,
+    "q_crawl_budget": q_crawl_budget,
+    "q_decontaminate": q_decontaminate,
+    "q_outlink_extract": q_outlink_extract,
+    "q_weighted_sample": q_weighted_sample,
+    "q_inverted_index": q_inverted_index,
+    "q_cluster_canonical": q_cluster_canonical,
+    "q_percentiles": q_percentiles,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_bigram_topk": q_bigram_topk,
+    "q_repetition_ratio": q_repetition_ratio,
+    "q_lm_score": q_lm_score,
+    "q_substring_dedup": q_substring_dedup,
+    "q_tfidf_topk": q_tfidf_topk,
+    "q_train_split": q_train_split,
+    "q_stratified_sample": q_stratified_sample,
+    "q_dup_clusters": q_dup_clusters,
+    "q_neardup_dedup": q_neardup_dedup,
+    "q_incremental_neardup": q_incremental_neardup,
+    "q_minhash_neardup": q_minhash_neardup,
+    "q_simhash_neardup": q_simhash_neardup,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
+    "q_rollup": q_rollup,
+    "q_image_psnr": q_image_psnr,
+    "q_pair_quality": q_pair_quality,
+    "q_image_quality_gate": q_image_quality_gate,
+    "q_image_phash_neardup": q_image_phash_neardup,
+    "q_image_phash_clusters": q_image_phash_clusters,
+    "q_audio_features": q_audio_features,
+    "q_frame_sample": q_frame_sample,
+    "q_crawl_round": q_crawl_round,
+    "q_anti_join_dedup": q_anti_join_dedup,
+    "q_cuckoo_dedup": q_cuckoo_dedup,
+    "q_order_by": q_order_by,
+    "q_host_budget_topk": q_host_budget_topk,
+    "q_time_rollup": q_time_rollup,
+    "q_metrics_counts": q_metrics_counts,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_embedding_topk": q_embedding_topk,
+    "q_sessionize": q_sessionize,
+    "q_pivot": q_pivot,
+    # --- end of 50-slot driver-check window; all entries below are
+    # --- driver-green from rounds 1-3 (CORRECTNESS_r0{1,2,3}.json)
     "q_extract_number": q_extract_number,
     "q_extract_office": q_extract_office,
     "q_json_envelope": q_json_envelope,
@@ -2174,13 +2283,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_equi_join": q_equi_join,
     "q_broadcast_join": q_broadcast_join,
     "q_group_collect": q_group_collect,
-    "q_metrics_counts": q_metrics_counts,
     "q_union_all": q_union_all,
-    "q_anti_join_dedup": q_anti_join_dedup,
-    "q_cuckoo_dedup": q_cuckoo_dedup,
     "q_filter_nonempty": q_filter_nonempty,
-    "q_order_by": q_order_by,
-    "q_host_budget_topk": q_host_budget_topk,
     "q_crawl_delay_schedule": q_crawl_delay_schedule,
     "q_pacing_schedule": q_pacing_schedule,
     "q_redirect_resolve": q_redirect_resolve,
@@ -2190,69 +2294,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_content_sniff": q_content_sniff,
     "q_distinct_urls": q_distinct_urls,
     "q_distinct_urls_approx": q_distinct_urls_approx,
-    "q_sessionize": q_sessionize,
-    "q_time_rollup": q_time_rollup,
     "q_asof_join": q_asof_join,
     "q_interval_join": q_interval_join,
     "q_shard_pack": q_shard_pack,
     "q_salted_join": q_salted_join,
     "q_window_dedup": q_window_dedup,
-    "q_pivot": q_pivot,
-    "q_rollup": q_rollup,
     "q_semi_join": q_semi_join,
     "q_lag_delta": q_lag_delta,
-    "q_histogram": q_histogram,
-    "q_corpus_filter": q_corpus_filter,
-    "q_chunk_dedup": q_chunk_dedup,
-    "q_boilerplate": q_boilerplate,
-    "q_pii_scrub": q_pii_scrub,
-    "q_source_quality": q_source_quality,
-    "q_trap_detect": q_trap_detect,
-    "q_mirror_hosts": q_mirror_hosts,
-    "q_recrawl_schedule": q_recrawl_schedule,
-    "q_domain_cap": q_domain_cap,
-    "q_crawl_budget": q_crawl_budget,
-    "q_decontaminate": q_decontaminate,
-    "q_outlink_extract": q_outlink_extract,
-    "q_weighted_sample": q_weighted_sample,
-    "q_inverted_index": q_inverted_index,
-    "q_cluster_canonical": q_cluster_canonical,
-    "q_crawl_round": q_crawl_round,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint": q_fingerprint,
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_shingle_stats": q_shingle_stats,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_percentiles": q_percentiles,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_bigram_topk": q_bigram_topk,
-    "q_repetition_ratio": q_repetition_ratio,
-    "q_lm_score": q_lm_score,
-    "q_substring_dedup": q_substring_dedup,
-    "q_tfidf_topk": q_tfidf_topk,
-    "q_train_split": q_train_split,
-    "q_stratified_sample": q_stratified_sample,
-    "q_dup_clusters": q_dup_clusters,
-    "q_neardup_dedup": q_neardup_dedup,
-    "q_minhash_neardup": q_minhash_neardup,
-    "q_incremental_neardup": q_incremental_neardup,
-    "q_simhash_neardup": q_simhash_neardup,
-    "q_rolling_fingerprint": q_rolling_fingerprint,
-    "q_embedding_topk": q_embedding_topk,
     "q_knn_per_vec": q_knn_per_vec,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
-    "q_image_phash_neardup": q_image_phash_neardup,
-    "q_image_phash_clusters": q_image_phash_clusters,
-    "q_image_psnr": q_image_psnr,
-    "q_pair_quality": q_pair_quality,
-    "q_image_quality_gate": q_image_quality_gate,
-    "q_audio_features": q_audio_features,
-    "q_frame_sample": q_frame_sample,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -2704,20 +2763,28 @@ ORACLES: dict[str, str] = {
                       THEN regexp_extract(hostport, '^(\[[^\]]*\])', 1)
                       WHEN contains(hostport, ':')
                       THEN split_part(hostport, ':', 1) ELSE hostport END AS host,
+                 -- last-colon extraction, matching the library's
+                 -- substring_index(hostport, ':', -1): on a malformed
+                 -- multi-colon authority both engines now take the text
+                 -- after the FINAL ':' (split_part(..., 2) took the
+                 -- second field -- r3 ADVICE divergence)
                  CASE WHEN hostport LIKE '[%'
                       THEN regexp_extract(hostport, '\]:(.*)$', 1)
                       WHEN contains(hostport, ':')
-                      THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+                      THEN regexp_extract(hostport, ':([^:]*)$', 1)
+                      ELSE '' END AS port,
                  array_to_string(list_sort(string_split(query, '&')), '&') AS qsorted
           FROM p)
         SELECT p_partkey, raw_url,
+               CASE WHEN scheme = '' THEN raw_url ELSE
                scheme || '://' || host
                || CASE WHEN port <> ''
                         AND NOT ((scheme = 'http' AND port = '80')
                                  OR (scheme = 'https' AND port = '443'))
                        THEN ':' || port ELSE '' END
                || path
-               || CASE WHEN qsorted <> '' THEN '?' || qsorted ELSE '' END AS canon_url
+               || CASE WHEN qsorted <> '' THEN '?' || qsorted ELSE '' END
+               END AS canon_url
         FROM n
     """,
     "q_robots_rfc_gate": r"""
@@ -2769,7 +2836,7 @@ ORACLES: dict[str, str] = {
         SELECT event_type, user_bucket,
                CAST(GROUPING(event_type) AS INTEGER) AS g_type,
                CAST(GROUPING(user_bucket) AS INTEGER) AS g_bucket,
-               sum(cents) AS sum_cents, count(*) AS n
+               CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n
         FROM (SELECT event_type,
                      CAST(user_id % 10 AS BIGINT) AS user_bucket,
                      CAST(round(value * 100) AS BIGINT) AS cents
@@ -2788,7 +2855,7 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     "q_histogram": """
-        SELECT bin, count(*) AS n, sum(c) AS sum_cents,
+        SELECT bin, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents,
                CAST(bin * 25 AS DOUBLE) AS lo
         FROM (SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bin,
                      CAST(round(value * 100) AS BIGINT) AS c

@@ -120,6 +120,19 @@ def _n_files(rows: int, rows_per_file: int = 500_000) -> int:
     return max(1, (rows + rows_per_file - 1) // rows_per_file)
 
 
+def _seed_last_compact(prev_stats: dict, round_no: int, cadence: int) -> int:
+    """Round of the most recent compaction.  A legacy checkpoint
+    (predating the ``last_compact_round`` stat) must NOT default to 0:
+    ``round_no - 0 >= cadence`` would force a surprise O(|frontier|)
+    refill on the first resumed round of any mature crawl (r3 ADVICE).
+    Seed from the modulo schedule the legacy engine actually ran on,
+    so upgrade resumes keep the old cadence."""
+    stored = prev_stats.get("last_compact_round")
+    if stored is not None:
+        return int(stored)
+    return max(0, (round_no - 1) // cadence * cadence)
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -201,7 +214,25 @@ class CrawlEngine:
     def run_round(self, round_no: int) -> dict:
         """One batch round.  Every written frame is persisted before its
         write so sinks never recompute lineage; stats come from the same
-        cached frames (no write-then-reread)."""
+        cached frames (no write-then-reread).
+
+        Thin wrapper: every frame persisted during the round registers
+        itself in ``_round_unpersist`` AT PERSIST TIME (including the
+        pruned anti-join's probe cache, handed over explicitly via
+        ``unpersist_into`` — r3 ADVICE replaced the monkey-patched
+        ``_probe_cache`` attribute), and the finally releases them all
+        even when the round raises mid-way."""
+        _round_unpersist: list = []
+        try:
+            return self._run_round_impl(round_no, _round_unpersist)
+        finally:
+            for df in _round_unpersist:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    def _run_round_impl(self, round_no: int, _round_unpersist: list) -> dict:
         import os as _os
         import time as _time
 
@@ -228,7 +259,9 @@ class CrawlEngine:
         # refills to 2×cadence−1 dispatch rounds against a head sized
         # for `cadence` — per-host starvation the head_rows==0 guard
         # does not catch (it only sees a FULLY empty head).
-        last_compact = int(prev_stats.get("last_compact_round", 0))
+        last_compact = _seed_last_compact(
+            prev_stats, round_no, cfg.frontier_compact_every
+        )
         compact = round_no - last_compact >= cfg.frontier_compact_every
         # dispatch ≤ head; below the measured crossover the
         # single-window sequencing path skips the ranged path's extra
@@ -261,17 +294,20 @@ class CrawlEngine:
             tail_live = FR.dedup_keys(
                 head.unionByName(st.read_frontier(S.FRONTIER))
             ).persist()
+            _round_unpersist.append(tail_live)
             head, _ = FR.split_head(tail_live, head_k)
             compact = True  # rewrite base+head consistently at round end
 
         ranked = P.rank_with_budget(
             head, self.robots, cfg.base_budget, cfg.round_ms
         ).persist()
+        _round_unpersist.append(ranked)
         dispatch = global_sequence(
             ranked.filter(F.col("_dispatch")).drop("_dispatch"),
             P.ORDER_KEYS,
             small=small_dispatch,
         ).persist()
+        _round_unpersist.append(dispatch)
         deferred = ranked.filter(~F.col("_dispatch")).drop("_dispatch")
 
         # The dispatch count is exact and cheap (dispatch is persisted and
@@ -300,6 +336,7 @@ class CrawlEngine:
         fetched = P.spread_partition(
             FE.fetch_closed_world(dispatch, self.web_pages), n_parts
         ).persist()
+        _round_unpersist.append(fetched)
         ok, retry, dead = FE.split_fetch_outcomes(fetched)
 
         # results: extraction over successful pages, image payload joined
@@ -316,6 +353,7 @@ class CrawlEngine:
         expansion = R.tag_robots(
             FR.expand_pages(ok.filter(F.col("page") == 0), round_no), self.robots
         ).persist()
+        _round_unpersist.append(expansion)
         exp_allowed = FR.dedup_within(expansion.filter(~F.col("_blocked")).drop("_blocked"))
 
         # seen set grows by this round's successful fetches
@@ -382,6 +420,7 @@ class CrawlEngine:
                 filters,
                 cfg.bloom_parts,
                 prune_seen_parts=prune_seen,
+                unpersist_into=_round_unpersist,
             )
         else:
             fresh = D.anti_join_seen(exp_allowed, seen_all, None)
@@ -404,6 +443,7 @@ class CrawlEngine:
             carry.select("url_hash"), "url_hash", "left_anti"
         )
         merged = carry.unionByName(fresh_new.select(*FR.FRONTIER_COLS)).persist()
+        _round_unpersist.append(merged)
         full = None
         if compact:
             # refill + compaction: reconstruct the tail (minus this
@@ -411,10 +451,12 @@ class CrawlEngine:
             # resurface), fold in the merged head, re-split top-K
             if tail_live is None:
                 tail_live = st.read_frontier(S.FRONTIER).persist()
+                _round_unpersist.append(tail_live)
             tail_rem = tail_live.join(
                 dispatch.select("url_hash"), "url_hash", "left_anti"
             )
             full = FR.dedup_keys(merged.unionByName(tail_rem)).persist()
+            _round_unpersist.append(full)
             head_out, base_out = FR.split_head(full, head_k)
             demote = None
         else:
@@ -617,16 +659,10 @@ class CrawlEngine:
             },
         )
 
-        to_unpersist = [ranked, dispatch, fetched, expansion, merged]
-        probe_cache = getattr(fresh, "_probe_cache", None)
-        if probe_cache is not None:
-            to_unpersist.append(probe_cache)
-        if full is not None:
-            to_unpersist.append(full)
-        if tail_live is not None:
-            to_unpersist.append(tail_live)
-        for df in to_unpersist:
-            df.unpersist()
+        # every round-persisted frame (ranked, dispatch, fetched,
+        # expansion, merged, full, tail_live, the pruned anti-join's
+        # probe cache) was registered in _round_unpersist at persist
+        # time; run_round's finally releases them even on a raise.
         return {
             "round": round_no,
             "n_dispatched": n_dispatched,

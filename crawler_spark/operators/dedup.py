@@ -98,6 +98,13 @@ def build_seen_filters(seen: DataFrame, n_parts: int = 64) -> DataFrame:
     )
 
 
+# Above this many total filter bytes the collect+broadcast arm stops
+# being a bootstrap convenience and becomes a driver bottleneck (blob
+# dict on the driver + one broadcast per round).  64 MiB ≈ 50M keys at
+# _BITS_PER_KEY=10 — far beyond any bootstrap, far below driver memory.
+_BROADCAST_BLOBS_MAX_BYTES = 64 * 1024 * 1024
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -109,9 +116,32 @@ def anti_join_seen(
     ``filters``: output of :func:`build_seen_filters` (or None → plain
     anti-join).  The logical result is identical with or without the
     prefilter (pinned in tests); only the join input size changes.
+
+    The collect+broadcast arm is GATED (VERDICT r3 item 6): when the
+    blobs total more than ``_BROADCAST_BLOBS_MAX_BYTES`` the probe is
+    routed through the executor-side cogroup path
+    (:func:`anti_join_seen_partitioned`) instead — the size check is
+    one tiny aggregate over ≤ n_parts rows, and no path ever collects
+    filter state to the driver at scale.
     """
     if filters is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+    total_bytes = (
+        filters.agg(F.sum(F.length("filter")).alias("b")).collect()[0]["b"] or 0
+    )
+    if total_bytes > _BROADCAST_BLOBS_MAX_BYTES:
+        # adapt the one-epoch BLOOM_SCHEMA blobs to the partitioned
+        # state contract and probe them where they live
+        state = filters.select(
+            F.col("part_id").cast("int"),
+            F.lit(0).cast("int").alias("epoch"),
+            "filter",
+            F.col("n_keys").cast("long"),
+            F.col("n_keys").cast("long").alias("capacity"),
+            F.lit(n_parts).cast("int").alias("n_parts"),
+        )
+        return anti_join_seen_partitioned(candidates, seen, state, n_parts)
 
     blobs = {r["part_id"]: bytes(r["filter"]) for r in filters.collect()}
     spark = candidates.sparkSession
@@ -269,6 +299,7 @@ def anti_join_seen_partitioned(
     filters_state: DataFrame,
     n_parts: int = 64,
     prune_seen_parts: bool = False,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """candidates \\ seen — exact, prefiltered by the partitioned state.
 
@@ -318,10 +349,16 @@ def anti_join_seen_partitioned(
     if pruning:
         # the prune's distinct-part collect is EAGER: without a persist
         # it would execute the whole probe pipeline once for the part
-        # list and AGAIN for the anti-join.  Cache it; the caller
-        # unpersists via the ``_probe_cache`` attribute after the round
-        # materializes (engine.run_round's per-round unpersist list).
+        # list and AGAIN for the anti-join.  Cache it and register the
+        # persisted frame with the caller's unpersist list AT PERSIST
+        # TIME (``unpersist_into``), so the caller's finally releases
+        # it even if the round raises mid-way — the explicit hand-off
+        # that replaced the fragile ``_probe_cache`` attribute (r3
+        # ADVICE: any wrapper between here and the engine silently
+        # dropped the monkey-patched reference).
         flagged = flagged.persist()
+        if unpersist_into is not None:
+            unpersist_into.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
     seen_keys = seen
@@ -330,10 +367,7 @@ def anti_join_seen_partitioned(
     checked = needs_check.join(
         seen_keys.select("url_hash"), "url_hash", "left_anti"
     )
-    out = definitely_new.unionByName(checked)
-    if pruning:
-        out._probe_cache = flagged
-    return out
+    return definitely_new.unionByName(checked)
 
 
 def anti_join_seen_with_delta(
@@ -343,6 +377,7 @@ def anti_join_seen_with_delta(
     filters_state: DataFrame,
     n_parts: int = 64,
     prune_seen_parts: bool = False,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """candidates \\ (seen_prev ∪ new_seen), with the Bloom prefilter
     applied ONLY to the part it actually covers.
@@ -358,9 +393,7 @@ def anti_join_seen_with_delta(
     ``candidates \\ seen_all``.
     """
     base = anti_join_seen_partitioned(
-        candidates, seen_prev, filters_state, n_parts, prune_seen_parts
+        candidates, seen_prev, filters_state, n_parts, prune_seen_parts,
+        unpersist_into=unpersist_into,
     )
-    out = base.join(new_seen.select("url_hash"), "url_hash", "left_anti")
-    if hasattr(base, "_probe_cache"):
-        out._probe_cache = base._probe_cache
-    return out
+    return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")

@@ -326,6 +326,7 @@ def anti_join_seen_partitioned(
     filters_state: DataFrame,
     n_parts: int = 64,
     prune_seen_parts: bool = False,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """candidates \\ seen — exact, cuckoo-prefiltered; identical plan
     shape and conservative-default semantics as the Bloom arm."""
@@ -361,9 +362,12 @@ def anti_join_seen_partitioned(
     pruning = prune_seen_parts and "seen_part" in seen.columns
     if pruning:
         # persist: the prune's eager part-list collect would otherwise
-        # run the probe once for the list and again for the anti-join
-        # (caller unpersists via ``_probe_cache``, as in the Bloom arm)
+        # run the probe once for the list and again for the anti-join;
+        # the persisted frame registers with the caller's unpersist
+        # list at persist time (same explicit hand-off as the Bloom arm)
         flagged = flagged.persist()
+        if unpersist_into is not None:
+            unpersist_into.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
     seen_keys = seen
@@ -374,10 +378,7 @@ def anti_join_seen_partitioned(
     checked = needs_check.join(
         seen_keys.select("url_hash"), "url_hash", "left_anti"
     )
-    out = definitely_new.unionByName(checked)
-    if pruning:
-        out._probe_cache = flagged
-    return out
+    return definitely_new.unionByName(checked)
 
 
 def anti_join_seen_with_delta(
@@ -387,15 +388,14 @@ def anti_join_seen_with_delta(
     filters_state: DataFrame,
     n_parts: int = 64,
     prune_seen_parts: bool = False,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """candidates \\ (seen_prev ∪ new_seen) — the filter covers only
     seen_prev; the one-round delta gets its own exact anti-join (the
     round-1 delta-blindspot fix, shared semantics with the Bloom arm).
     """
     base = anti_join_seen_partitioned(
-        candidates, seen_prev, filters_state, n_parts, prune_seen_parts
+        candidates, seen_prev, filters_state, n_parts, prune_seen_parts,
+        unpersist_into=unpersist_into,
     )
-    out = base.join(new_seen.select("url_hash"), "url_hash", "left_anti")
-    if hasattr(base, "_probe_cache"):
-        out._probe_cache = base._probe_cache
-    return out
+    return base.join(new_seen.select("url_hash"), "url_hash", "left_anti")

@@ -24,14 +24,19 @@ ORACLES = entry_mod.oracle_sql()
 
 
 def _canon_cell(v):
+    # DTYPE-FAITHFUL canonicalization: the driver's hasher distinguishes
+    # int64 from float64 even when values are numerically identical (the
+    # r3 q_rollup failure: DuckDB sum(BIGINT)->HUGEINT->float64 vs Spark
+    # int64).  An integral float therefore canonicalizes to "123~f", NOT
+    # "123", so dtype drift between an oracle and its Spark query fails
+    # HERE before it fails at the driver.  .6g keeps ulp tolerance for
+    # genuinely fractional values.
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        return f"{v:.6g}~f"
     return str(v)
 
 

@@ -655,3 +655,22 @@ def test_store_ignores_stray_round_dirs(spark, tmp_path):
     assert st._latest_base_round(0) == -1
     st.vacuum_uncommitted()  # must not raise on the stray dirs
     assert st.committed()["round"] == 0
+
+
+def test_seed_last_compact_legacy_checkpoint():
+    """Legacy checkpoints (no last_compact_round stat) resume on the
+    modulo schedule instead of compacting immediately (r3 ADVICE)."""
+    from crawler_spark.engine import _seed_last_compact
+
+    # stored stat wins verbatim
+    assert _seed_last_compact({"last_compact_round": 13}, 20, 8) == 13
+    # legacy: round 21 under cadence 8 -> last modulo compaction was 16;
+    # 21 - 16 < 8, so the first resumed round does NOT compact
+    assert _seed_last_compact({}, 21, 8) == 16
+    assert 21 - _seed_last_compact({}, 21, 8) < 8
+    # boundary: exactly on the legacy schedule -> compaction still fires
+    assert _seed_last_compact({}, 17, 8) == 16
+    assert _seed_last_compact({}, 24, 8) == 16
+    assert 24 - _seed_last_compact({}, 24, 8) >= 8
+    # first rounds never see a negative seed
+    assert _seed_last_compact({}, 1, 8) == 0

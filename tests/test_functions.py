@@ -870,3 +870,35 @@ def test_incremental_neardup_probe_cross_set_only(spark):
         ).collect()
     }
     assert self_pairs[(1, 10)] == got[(10, 1)]
+
+
+def test_dup_cc_minhash_matches_exact(spark, sf_dir):
+    """The wired scale switch (contract.dup_cc pair_kind='minhash') must
+    resolve the fixture corpus to the same near-dup components as the
+    oracle-exact kernel.  At 64 perms / 16 bands x 4 rows the banding
+    curve's capture probability at j=0.4 is ~0.97 per pair and the
+    fixture's true pairs all sit well above threshold, so we pin full
+    component-set equality here (a recall bound would mask a broken
+    kernel); if a future fixture adds pairs hovering exactly at 0.4,
+    relax this to recall >= 0.95 with a comment."""
+    from crawler_spark import contract
+
+    exact = {
+        (r["node"], r["component"])
+        for r in contract.dup_cc(spark, sf_dir, pair_kind="exact").collect()
+    }
+    mh = {
+        (r["node"], r["component"])
+        for r in contract.dup_cc(spark, sf_dir, pair_kind="minhash").collect()
+    }
+    assert mh == exact
+
+
+def test_dup_cc_env_switch_and_bad_kind(spark, sf_dir, monkeypatch):
+    from crawler_spark import contract
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_PAIRS", "minhash")
+    df = contract.dup_cc(spark, sf_dir)
+    assert df.columns == ["node", "component"]
+    with pytest.raises(ValueError, match="pair_kind"):
+        contract.dup_cc(spark, sf_dir, pair_kind="bogus")

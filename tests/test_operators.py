@@ -752,12 +752,13 @@ def test_rfc_robots_matches_python_reference(spark):
         assert out[i] == py_verdict(h, p), (i, h, p, out[i], py_verdict(h, p))
 
 
-def test_pruned_anti_join_exposes_probe_cache_for_unpersist(spark):
+def test_pruned_anti_join_registers_probe_cache_for_unpersist(spark):
     """The pruned path persists its probe frame so the eager part-list
     collect doesn't run the filter pipeline twice; the operator must
-    hand that frame to the caller via ``_probe_cache`` (the engine
-    appends it to the round's unpersist list) — in BOTH filter arms,
-    and through the with-delta wrapper's extra join."""
+    register that frame in the caller-supplied ``unpersist_into`` list
+    AT PERSIST TIME (the explicit hand-off that replaced the fragile
+    ``_probe_cache`` attribute, r3 ADVICE) — in BOTH filter arms, and
+    through the with-delta wrapper's extra join."""
     from pyspark.sql import functions as F
 
     from crawler_spark.operators import dedup as D
@@ -775,11 +776,37 @@ def test_pruned_anti_join_exposes_probe_cache_for_unpersist(spark):
             seen.select("url_hash"),
             n_parts=8,
         )
+        registry: list = []
         out = M.anti_join_seen_with_delta(
-            cands, seen, empty_new, filters, n_parts=8, prune_seen_parts=True
+            cands, seen, empty_new, filters, n_parts=8,
+            prune_seen_parts=True, unpersist_into=registry,
         )
-        cache = getattr(out, "_probe_cache", None)
-        assert cache is not None, M.__name__
-        assert cache.is_cached, M.__name__
+        assert len(registry) == 1, M.__name__
+        assert registry[0].is_cached, M.__name__
         assert sorted(r["url_hash"] for r in out.collect()) == list(range(1, 200, 2))
-        cache.unpersist()
+        for df in registry:
+            df.unpersist()
+
+
+def test_anti_join_collect_arm_gated_at_scale(spark, monkeypatch):
+    """VERDICT r3 item 6: above the broadcast-bytes cap the bootstrap
+    collect arm must route through the executor-side cogroup probe —
+    same exact result, no driver blob collect.  Forcing the cap to 0
+    exercises the gated path on the small fixture."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators import dedup as D
+
+    seen = spark.range(0, 300, 3).select(F.col("id").alias("url_hash"))
+    cands = spark.range(0, 300).select(F.col("id").alias("url_hash"))
+    filters = D.build_seen_filters(seen, n_parts=8)
+    expected = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen(cands, seen, None).collect()
+    )
+    monkeypatch.setattr(D, "_BROADCAST_BLOBS_MAX_BYTES", 0)
+    gated = sorted(
+        r["url_hash"]
+        for r in D.anti_join_seen(cands, seen, filters, n_parts=8).collect()
+    )
+    assert gated == expected
