@@ -1889,6 +1889,24 @@ def q_frame_sample(spark, sf):
     )
 
 
+def q_video_demux(spark, sf):
+    """Container-uniform video demux over a MIXED corpus (doc_ids
+    cycle MJV1 / real ISO-BMFF MP4 / real Matroska WebM, all carrying
+    the same encoded frame payloads): keyframe selection from real
+    sample tables (crawler_spark.mp4 — stts/stsc/stsz/stco/stss) and
+    real EBML SimpleBlock flags (crawler_spark.webm), no pixel decode,
+    no payload bytes touched for skipped samples.  Rows-only: binary
+    container parsing is not DuckDB-expressible; sample-count/dts/sync
+    invariants are pinned by pytest (tests/test_mp4.py)."""
+    from .functions.multimodal import attach_synthetic_videos, video_demux
+
+    docs = _t(spark, sf, "documents").limit(50)
+    vids = attach_synthetic_videos(docs, "doc_id", container="mixed")
+    return video_demux(vids, keyframes_only=True).select(
+        "image_id", "sample_idx", "dts_ms", "is_sync", "n_bytes"
+    )
+
+
 # =====================================================================
 # Training-data ops: corpus curation (span dedup, boilerplate, PII,
 # source-quality propagation) + crawl hygiene (traps, recrawl)
@@ -2312,6 +2330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_knn_ivf": q_knn_ivf,
     "q_image_decode_meta": q_image_decode_meta,
+    "q_video_demux": q_video_demux,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"

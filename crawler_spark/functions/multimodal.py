@@ -287,6 +287,77 @@ def frame_sample(video: DataFrame, every_n: int = 8) -> DataFrame:
     return video.select("image_id", "bytes").mapInPandas(run, schema=schema)
 
 
+def video_demux(
+    video: DataFrame, every_n: int = 1, keyframes_only: bool = False
+) -> DataFrame:
+    """Container-uniform DEMUX over binary video columns: one row per
+    selected sample with its exact byte range, timestamp, sync flag
+    and encoded payload — MJV1 (repo container) and real ISO-BMFF
+    (MP4, pure-spec sample tables in crawler_spark.mp4) both dispatch
+    through video.demux_samples.
+
+    This is the demux half of frame sampling a 100 TB pipeline runs on
+    every worker: select the key/n-th samples HERE (no payload bytes
+    touched for skipped samples, no pixel decode at all) and ship only
+    the selected encoded payloads to the decode stage.  Pixel decode
+    of MP4 codec payloads stays a declared NotImplementedError
+    (mp4.decode_sample) — the av-library gap — while MJV1 payloads
+    remain fully decodable (frame_sample above).
+
+    ``keyframes_only`` selects sync samples (random-access points);
+    ``every_n`` then thins the selection.  WebM/AVI containers raise
+    loudly (declared gap); truncated/garbage bytes contribute the
+    samples validated before the corruption point, like frame_sample.
+    """
+    from .. import video as V
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, offs, lens, dtss, syncs, payloads = [], [], [], [], [], [], []
+            for vid, data in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(data) if data is not None else b""
+                try:
+                    rows = V.demux_samples(raw)
+                except ValueError:
+                    continue  # not a video / corrupt header: bad bytes are data
+                if keyframes_only:
+                    rows = [r for r in rows if r[4]]
+                for k, (idx, off, ln, dts_ms, is_sync) in enumerate(rows):
+                    if k % every_n:
+                        continue
+                    vids.append(vid)
+                    idxs.append(idx)
+                    offs.append(off)
+                    lens.append(ln)
+                    dtss.append(dts_ms)
+                    syncs.append(is_sync)
+                    payloads.append(raw[off : off + ln])
+            yield pd.DataFrame(
+                {
+                    "image_id": vids,
+                    "sample_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "dts_ms": pd.Series(dtss, dtype="int64"),
+                    "is_sync": pd.Series(syncs, dtype="bool"),
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("sample_idx", T.IntegerType(), False),
+            T.StructField("byte_offset", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("dts_ms", T.LongType(), False),
+            T.StructField("is_sync", T.BooleanType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return video.select("image_id", "bytes").mapInPandas(run, schema=schema)
+
+
 def attach_synthetic_videos(
     df: DataFrame,
     id_col: str,
@@ -294,20 +365,44 @@ def attach_synthetic_videos(
     w: int = 24,
     h: int = 20,
     n_frames: int = 12,
+    container: str = "mjv1",
 ) -> DataFrame:
-    """Derive a deterministic MJV1 clip per row from an integer id
-    (real container, real PNG/JPEG frames — crawler_spark.video); the
-    video analogue of attach_synthetic_images below."""
+    """Derive a deterministic clip per row from an integer id (real
+    containers, real PNG/JPEG frames — crawler_spark.video / .mp4);
+    the video analogue of attach_synthetic_images below.
+
+    ``container``: ``"mjv1"`` (default), ``"mp4"`` / ``"webm"`` (the
+    SAME encoded frame payloads re-wrapped in a spec-valid ISO-BMFF /
+    Matroska file, sync samples every 4th frame), or ``"mixed"``
+    (ids cycle mjv1/mp4/webm by k%3 — exercises the container-uniform
+    demux path across all three)."""
+    from .. import mp4 as M
     from .. import video as V
+    from .. import webm as WB
+
+    def clip(k: int) -> tuple[bytes, str]:
+        fmt = "png" if k % 2 == 0 else "jpg"
+        mjv = V.gen_video(seed, k, w, h, n_frames, fmt)
+        kind = container
+        if container == "mixed":
+            kind = ("mjv1", "mp4", "webm")[k % 3]
+        if kind == "mjv1":
+            return mjv, fmt
+        payloads = [mjv[o : o + ln] for _, o, ln in V.iter_frame_offsets(mjv)]
+        fps = max(1, int(V.probe(mjv)["fps"]))
+        keys = set(range(0, n_frames, 4))
+        if kind == "mp4":
+            return M.mux(payloads, w, h, fps=fps, keyframes=keys, codec=b"mjpa"), fmt
+        return WB.mux(payloads, w, h, fps=fps, keyframes=keys), fmt
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"image_id": [], "bytes": [], "n_frames": [], "fmt": []}
             for k in pdf[id_col].to_numpy():
                 k = int(k)
-                fmt = "png" if k % 2 == 0 else "jpg"
+                data, fmt = clip(k)
                 rows["image_id"].append(f"vid-{k:012d}")
-                rows["bytes"].append(V.gen_video(seed, k, w, h, n_frames, fmt))
+                rows["bytes"].append(data)
                 rows["n_frames"].append(n_frames)
                 rows["fmt"].append(fmt)
             yield pd.DataFrame(rows)

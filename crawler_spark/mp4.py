@@ -1,0 +1,393 @@
+"""ISO base-media-file-format (MP4) demuxer — pure spec, no av library.
+
+Implements the subset of ISO/IEC 14496-12 that a 100 TB frame-sampling
+pipeline actually runs on every worker: the box walk, the sample
+tables (``stts``/``stsc``/``stsz``/``stco``/``co64``/``stss``), and
+from them each sample's exact byte range, decode timestamp and
+sync-sample (keyframe) flag.  Selecting the key/n-th samples and
+shipping ONLY those encoded bytes onward is the demux half of frame
+sampling; pixel DECODE of the codec payloads (avc1/hev1/vp09/...)
+genuinely needs an av library and stays a declared
+``NotImplementedError`` (:func:`decode_sample`) in this sandbox.
+
+Closes the one remaining capability gap from earlier rounds, where any
+``ftyp`` container raised from the container layer (video.py
+``_reject_foreign``); reference-parity note: the reference crawler
+stores fetched media opaquely (storage/handler.go:103) and never
+demuxes, so this module is part of the training-data extension
+surface, not reference parity.
+
+Also provides :func:`mux` — a minimal writer (ftyp | mdat | moov,
+one-sample-per-chunk tables) so tests and fixtures can synthesize
+deterministic, spec-valid files and pin an exact round-trip.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, NamedTuple
+
+_FULLBOX_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf")
+)
+
+
+class Sample(NamedTuple):
+    idx: int  # 0-based sample index within the track
+    offset: int  # absolute byte offset of the encoded payload
+    size: int  # payload length in bytes
+    dts: int  # decode timestamp in media-timescale ticks
+    is_sync: bool  # True = sync sample (keyframe / random-access point)
+
+
+class Track(NamedTuple):
+    track_id: int
+    handler: bytes  # 'vide' / 'soun' / ...
+    codec: bytes  # sample-entry fourcc, e.g. b'avc1', b'mjpa'
+    width: int
+    height: int
+    timescale: int
+    samples: tuple[Sample, ...]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from(">I", b, o)[0]
+
+
+def _u64(b: bytes, o: int) -> int:
+    return struct.unpack_from(">Q", b, o)[0]
+
+
+def iter_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    [start, end).  Truncated/absurd sizes raise ValueError — corrupt
+    bytes are data, and callers decide how loudly to fail."""
+    o = start
+    while o < end:
+        if o + 8 > end:
+            raise ValueError("truncated box header")
+        size = _u32(data, o)
+        typ = bytes(data[o + 4 : o + 8])
+        hdr = 8
+        if size == 1:
+            if o + 16 > end:
+                raise ValueError("truncated largesize header")
+            size = _u64(data, o + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - o
+        if size < hdr or o + size > end:
+            raise ValueError(f"box {typ!r} size {size} overruns scope")
+        yield typ, o + hdr, o + size
+        o += size
+
+
+def _find(data: bytes, start: int, end: int, fourcc: bytes) -> tuple[int, int] | None:
+    for typ, s, e in iter_boxes(data, start, end):
+        if typ == fourcc:
+            return s, e
+    return None
+
+
+def _find_path(data: bytes, start: int, end: int, *path: bytes) -> tuple[int, int] | None:
+    s, e = start, end
+    for cc in path:
+        hit = _find(data, s, e, cc)
+        if hit is None:
+            return None
+        s, e = hit
+    return s, e
+
+
+def _stts_deltas(data: bytes, s: int, e: int, n_samples: int) -> list[int]:
+    n_entries = _u32(data, s + 4)
+    dts, t, o = [], 0, s + 8
+    for _ in range(n_entries):
+        count, delta = _u32(data, o), _u32(data, o + 4)
+        o += 8
+        for _ in range(count):
+            dts.append(t)
+            t += delta
+    if len(dts) < n_samples:  # tolerate short stts: extend at last delta
+        delta = _u32(data, o - 4) if n_entries else 0
+        while len(dts) < n_samples:
+            dts.append(t)
+            t += delta
+    return dts[:n_samples]
+
+
+def _sample_sizes(data: bytes, s: int, e: int) -> list[int]:
+    fixed, count = _u32(data, s + 4), _u32(data, s + 8)
+    if fixed:
+        return [fixed] * count
+    return [_u32(data, s + 12 + 4 * i) for i in range(count)]
+
+
+def _chunk_offsets(data: bytes, stbl_s: int, stbl_e: int) -> list[int]:
+    hit = _find(data, stbl_s, stbl_e, b"stco")
+    if hit is not None:
+        s, _ = hit
+        n = _u32(data, s + 4)
+        return [_u32(data, s + 8 + 4 * i) for i in range(n)]
+    hit = _find(data, stbl_s, stbl_e, b"co64")
+    if hit is None:
+        raise ValueError("stbl missing stco/co64")
+    s, _ = hit
+    n = _u32(data, s + 4)
+    return [_u64(data, s + 8 + 8 * i) for i in range(n)]
+
+
+def _stsc_runs(data: bytes, s: int, e: int) -> list[tuple[int, int]]:
+    """(first_chunk_1based, samples_per_chunk) runs."""
+    n = _u32(data, s + 4)
+    return [
+        (_u32(data, s + 8 + 12 * i), _u32(data, s + 12 + 12 * i)) for i in range(n)
+    ]
+
+
+def _sync_set(data: bytes, stbl_s: int, stbl_e: int) -> set[int] | None:
+    hit = _find(data, stbl_s, stbl_e, b"stss")
+    if hit is None:
+        return None  # no stss box => every sample is a sync sample
+    s, _ = hit
+    n = _u32(data, s + 4)
+    return {_u32(data, s + 8 + 4 * i) - 1 for i in range(n)}  # 1-based -> 0-based
+
+
+def _track(data: bytes, trak_s: int, trak_e: int) -> Track | None:
+    tkhd = _find(data, trak_s, trak_e, b"tkhd")
+    mdia = _find(data, trak_s, trak_e, b"mdia")
+    if tkhd is None or mdia is None:
+        return None
+    ts, te = tkhd
+    version = data[ts]
+    # tkhd: version(1)+flags(3), then v0: 4+4+4+4+4 / v1: 8+8+4+4+8 to
+    # reserved(8)+layer(2)+alt(2)+volume(2)+reserved(2)+matrix(36)
+    track_id = _u32(data, ts + (4 + 8 + 8) if version else ts + (4 + 4 + 4))
+    fixed_off = te - 8  # width(16.16) + height(16.16) close the box
+    width, height = _u32(data, fixed_off) >> 16, _u32(data, fixed_off + 4) >> 16
+
+    ms, me = mdia
+    mdhd = _find(data, ms, me, b"mdhd")
+    hdlr = _find(data, ms, me, b"hdlr")
+    stbl = _find_path(data, ms, me, b"minf", b"stbl")
+    if mdhd is None or hdlr is None or stbl is None:
+        return None
+    hs, _ = mdhd
+    timescale = _u32(data, hs + 20) if data[hs] else _u32(data, hs + 12)
+    handler = bytes(data[hdlr[0] + 8 : hdlr[0] + 12])
+    ss, se = stbl
+
+    stsd = _find(data, ss, se, b"stsd")
+    codec = b"????"
+    if stsd is not None and _u32(data, stsd[0] + 4) >= 1:
+        codec = bytes(data[stsd[0] + 12 : stsd[0] + 16])
+
+    stsz = _find(data, ss, se, b"stsz")
+    stsc = _find(data, ss, se, b"stsc")
+    stts = _find(data, ss, se, b"stts")
+    if stsz is None or stsc is None or stts is None:
+        return None
+    sizes = _sample_sizes(data, *stsz)
+    n = len(sizes)
+    dts = _stts_deltas(data, *stts, n)
+    chunks = _chunk_offsets(data, ss, se)
+    runs = _stsc_runs(data, *stsc)
+    sync = _sync_set(data, ss, se)
+
+    # walk chunks: each stsc run applies from its first_chunk until the
+    # next run's first_chunk; samples lay out back-to-back in a chunk
+    samples: list[Sample] = []
+    si = 0
+    for ci, chunk_off in enumerate(chunks, start=1):
+        per = 0
+        for first, spc in runs:
+            if first <= ci:
+                per = spc
+            else:
+                break
+        off = chunk_off
+        for _ in range(per):
+            if si >= n:
+                break
+            samples.append(
+                Sample(si, off, sizes[si], dts[si], sync is None or si in sync)
+            )
+            off += sizes[si]
+            si += 1
+    return Track(track_id, handler, codec, width, height, timescale, tuple(samples))
+
+
+def tracks(data: bytes) -> list[Track]:
+    """All tracks with resolved sample tables.  ValueError on non-BMFF
+    or structurally corrupt input."""
+    data = bytes(data)
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO base-media file (no leading ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box (fragmented/streaming MP4 unsupported)")
+    out = []
+    for typ, s, e in iter_boxes(data, *moov):
+        if typ == b"trak":
+            t = _track(data, s, e)
+            if t is not None:
+                out.append(t)
+    return out
+
+
+def video_track(data: bytes) -> Track:
+    for t in tracks(data):
+        if t.handler == b"vide":
+            return t
+    raise ValueError("no video track")
+
+
+def probe(data: bytes) -> dict:
+    """Container metadata: brand, per-file track summary — the cheap
+    metadata pass a pipeline runs before deciding what to demux."""
+    data = bytes(data)
+    ts = tracks(data)
+    v = next((t for t in ts if t.handler == b"vide"), None)
+    return {
+        "brand": bytes(data[8:12]).decode("latin1"),
+        "n_tracks": len(ts),
+        "codec": (v.codec.decode("latin1") if v else None),
+        "width": (v.width if v else 0),
+        "height": (v.height if v else 0),
+        "timescale": (v.timescale if v else 0),
+        "n_samples": (len(v.samples) if v else 0),
+        "n_sync": (sum(1 for s in v.samples if s.is_sync) if v else 0),
+    }
+
+
+def sample_payload(data: bytes, sample: Sample) -> bytes:
+    return bytes(data[sample.offset : sample.offset + sample.size])
+
+
+def decode_sample(data: bytes, sample: Sample):
+    """Pixel decode of an encoded video sample — DECLARED capability
+    gap: avc1/hev1/vp09 entropy decoding needs an av library this
+    sandbox does not ship.  The demux layer above is complete and
+    real; a deployment plugs its decoder in here."""
+    raise NotImplementedError(
+        "codec payload decode needs an av library; demux (byte ranges, "
+        "timestamps, sync flags) is fully supported"
+    )
+
+
+# --------------------------------------------------------------------- writer
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def mux(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 8,
+    codec: bytes = b"mjpa",
+    keyframes: set[int] | None = None,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal spec-valid single-video-track MP4: ftyp | mdat | moov,
+    one sample per chunk (per-chunk stco offsets), constant frame
+    duration.  ``keyframes`` = 0-based sync sample indices (None =>
+    all sync, stss omitted)."""
+    if not samples:
+        raise ValueError("mux needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    base = len(ftyp) + 8  # first sample offset (mdat header is 8 bytes)
+    offsets, o = [], base
+    for s in samples:
+        offsets.append(o)
+        o += len(s)
+
+    n = len(samples)
+    delta = timescale // fps
+    duration = n * delta
+
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full(
+        b"stsz", 0, 0, struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples)
+    )
+    stco = _full(
+        b"stco", 0, 0, struct.pack(">I", n) + b"".join(struct.pack(">I", x) for x in offsets)
+    )
+    boxes = [
+        _full(
+            b"stsd",
+            0,
+            0,
+            struct.pack(">I", 1)
+            + _box(
+                codec,
+                b"\x00" * 6
+                + struct.pack(">H", 1)  # data_reference_index
+                + b"\x00" * 16
+                + struct.pack(">HH", width, height)
+                + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+                + b"\x00" * 4
+                + struct.pack(">H", 1)  # frame count
+                + b"\x00" * 32  # compressor name
+                + struct.pack(">Hh", 24, -1),  # depth, color table
+            ),
+        ),
+        stts,
+        stsc,
+        stsz,
+        stco,
+    ]
+    if keyframes is not None:
+        boxes.append(
+            _full(
+                b"stss",
+                0,
+                0,
+                struct.pack(">I", len(keyframes))
+                + b"".join(struct.pack(">I", i + 1) for i in sorted(keyframes)),
+            )
+        )
+    stbl = _box(b"stbl", b"".join(boxes))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    minf = _box(
+        b"minf",
+        _full(b"vmhd", 0, 1, b"\x00" * 8) + _box(b"dinf", dref) + stbl,
+    )
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"demux\x00")
+    mdhd = _full(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        0,
+        7,
+        struct.pack(">IIII", 0, 0, 1, 0)  # times, track_id, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x10000, 0x100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

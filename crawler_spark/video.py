@@ -20,10 +20,14 @@ decoding its neighbours, so a sample of k frames costs O(k) decode
 work plus an O(n_frames) index walk over length prefixes (no payload
 bytes are touched for skipped frames).
 
-Real inter-coded containers (MP4/H.264, WebM/VP9) still need an av
-library this sandbox doesn't ship; ``iter_frame_offsets`` raises
-NotImplementedError on their magic bytes, and the Spark plumbing in
-functions/multimodal.py is identical whichever decoder sits below.
+Foreign containers: ISO-BMFF (MP4) files now DEMUX for real via
+crawler_spark.mp4 (pure-spec sample tables — byte ranges, timestamps,
+sync flags; see :func:`demux_samples`); only the codec-payload pixel
+DECODE (avc1/hev1/vp09 entropy coding) still needs an av library this
+sandbox doesn't ship and raises a declared NotImplementedError.
+WebM/AVI remain container-level NotImplementedError.  The Spark
+plumbing in functions/multimodal.py is identical whichever decoder
+sits below.
 
 No reference-repo lineage: e8kor/crawler has no video code; the
 container layout is original and the frame codecs follow public specs
@@ -120,12 +124,61 @@ def _reject_foreign(data: bytes) -> None:
     # simply not videos (callers distinguish 'legit but unsupported
     # format' from 'wrong/corrupt data' by exception type)
     is_avi = head[:4] == b"RIFF" and head[8:12] == b"AVI "
-    if head[4:8] == b"ftyp" or is_avi or head[:4] == b"\x1a\x45\xdf\xa3":
+    if head[4:8] == b"ftyp" or head[:4] == b"\x1a\x45\xdf\xa3":
         raise NotImplementedError(
-            "inter-coded containers (MP4/AVI/WebM) need an av library; "
-            "this sandbox ships the real MJV1 motion-frame container only"
+            "MP4/WebM pixel decode needs an av library; use "
+            "demux_samples() for the real sample-table/EBML demux "
+            "(byte ranges/timestamps/sync flags)"
+        )
+    if is_avi:
+        raise NotImplementedError(
+            "AVI needs an av library; MJV1 decodes, MP4/WebM demux "
+            "in this sandbox"
         )
     raise ValueError("not an MJV1 container")
+
+
+def demux_samples(data: bytes) -> list[tuple[int, int, int, int, bool]]:
+    """Container-dispatched demux: (idx, offset, size, dts_ms, is_sync)
+    per sample, WITHOUT touching payload bytes — the pipeline-side half
+    of frame sampling, uniform across containers:
+
+    - MJV1: length-prefix walk; every frame is independently coded, so
+      every sample is a sync sample; dts from the header fps.
+    - ISO-BMFF (MP4): real sample tables via crawler_spark.mp4
+      (stts/stsc/stsz/stco/stss — byte ranges, timestamps, sync flags).
+    - Matroska/WebM: real EBML walk via crawler_spark.webm
+      (SimpleBlock ranges, cluster+relative timecodes, keyframe flags).
+
+    AVI raises NotImplementedError (declared av-library gap);
+    non-video bytes raise ValueError."""
+    raw = bytes(data)
+    if raw[:4] == _MAGIC:
+        meta = probe(raw)
+        fps = max(1, int(meta["fps"]))
+        return [
+            (i, off, ln, i * 1000 // fps, True)
+            for i, off, ln in iter_frame_offsets(raw)
+        ]
+    if raw[4:8] == b"ftyp":
+        from . import mp4 as M
+
+        t = M.video_track(raw)
+        ts = max(1, t.timescale)
+        return [
+            (s.idx, s.offset, s.size, s.dts * 1000 // ts, s.is_sync)
+            for s in t.samples
+        ]
+    if raw[:4] == b"\x1a\x45\xdf\xa3":
+        from . import webm as WB
+
+        t = WB.video_track(raw)
+        return [
+            (b.idx, b.offset, b.size, b.timecode * t.timescale_ns // 1_000_000, b.is_key)
+            for b in t.blocks
+        ]
+    _reject_foreign(raw)
+    raise AssertionError("unreachable")
 
 
 def gen_video(seed: int, k: int, w: int, h: int, n_frames: int, fmt: str = "png") -> bytes:

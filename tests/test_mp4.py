@@ -1,0 +1,140 @@
+"""ISO-BMFF demuxer (crawler_spark.mp4) + container-uniform demux
+plumbing (video.demux_samples / multimodal.video_demux)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from crawler_spark import mp4 as M
+from crawler_spark import video as V
+from crawler_spark import webm as W
+
+
+def _payloads(n=12, base=7):
+    return [bytes([(base + i) % 251]) * (20 + 5 * i) for i in range(n)]
+
+
+def test_mux_demux_roundtrip_exact():
+    pl = _payloads()
+    data = M.mux(pl, width=32, height=24, fps=8, keyframes={0, 4, 8})
+    t = M.video_track(data)
+    assert t.handler == b"vide" and t.codec == b"mjpa"
+    assert (t.width, t.height, t.timescale) == (32, 24, 1000)
+    assert len(t.samples) == len(pl)
+    for s in t.samples:
+        assert M.sample_payload(data, s) == pl[s.idx]
+        assert s.dts == s.idx * 125  # 1000/8 per frame
+        assert s.is_sync == (s.idx in {0, 4, 8})
+
+
+def test_probe_and_all_sync_without_stss():
+    pl = _payloads(5)
+    data = M.mux(pl, 16, 12, fps=4)
+    p = M.probe(data)
+    assert p == {
+        "brand": "isom", "n_tracks": 1, "codec": "mjpa", "width": 16,
+        "height": 12, "timescale": 1000, "n_samples": 5, "n_sync": 5,
+    }
+    assert all(s.is_sync for s in M.video_track(data).samples)
+
+
+def test_corrupt_and_foreign_inputs():
+    pl = _payloads(3)
+    good = M.mux(pl, 8, 8)
+    with pytest.raises(ValueError):
+        M.tracks(b"not a bmff file at all........")
+    with pytest.raises(ValueError):  # ftyp but no moov
+        M.tracks(good[: len(good) - 8])  # cuts into moov -> overrun/missing
+    # box size overruns its scope
+    bad = bytearray(good)
+    moov_at = good.find(b"moov") - 4
+    struct.pack_into(">I", bad, moov_at, len(good) * 2)
+    with pytest.raises(ValueError):
+        M.tracks(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        M.decode_sample(good, M.video_track(good).samples[0])
+
+
+def test_demux_samples_uniform_across_containers():
+    """The SAME encoded frames wrapped in MJV1 and in MP4 must demux to
+    identical (idx, size, dts_ms) triples; MJV1 is all-sync, MP4 sync
+    flags come from stss."""
+    mjv = V.gen_video(42, 3, 16, 12, n_frames=8)
+    frames = [mjv[o : o + ln] for _, o, ln in V.iter_frame_offsets(mjv)]
+    mp = M.mux(frames, 16, 12, fps=8, keyframes={0, 4})
+    a = V.demux_samples(mjv)
+    b = V.demux_samples(mp)
+    assert [(i, ln, d) for i, _, ln, d, _ in a] == [(i, ln, d) for i, _, ln, d, _ in b]
+    assert all(sync for *_, sync in a)
+    assert [sync for *_, sync in b] == [i in {0, 4} for i in range(8)]
+    # WebM: the same frames again, through the EBML walk
+    wb = W.mux(frames, 16, 12, fps=8, keyframes={0, 4})
+    c = V.demux_samples(wb)
+    assert [(i, ln, d) for i, _, ln, d, _ in a] == [(i, ln, d) for i, _, ln, d, _ in c]
+    assert [sync for *_, sync in c] == [i in {0, 4} for i in range(8)]
+    # payload bytes land at the reported ranges in ALL containers
+    for (i, off, ln, _, _) in b:
+        assert mp[off : off + ln] == frames[i]
+    for (i, off, ln, _, _) in c:
+        assert wb[off : off + ln] == frames[i]
+    with pytest.raises(NotImplementedError):
+        V.demux_samples(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 24)  # AVI stays a gap
+    with pytest.raises(ValueError):
+        V.demux_samples(b"\x1a\x45\xdf\xa3" + b"\x00" * 40)  # corrupt EBML
+    with pytest.raises(ValueError):
+        V.demux_samples(b"garbage-neither-container-....")
+
+
+def test_webm_roundtrip_and_corrupt():
+    frames = _payloads(7, base=3)
+    data = W.mux(frames, 20, 10, fps=4, keyframes={0, 3, 6})
+    assert W.probe(data) == {
+        "codec": "V_VP9", "width": 20, "height": 10,
+        "timescale_ns": 1_000_000, "n_blocks": 7, "n_key": 3,
+    }
+    t = W.video_track(data)
+    for b in t.blocks:
+        assert W.block_payload(data, b) == frames[b.idx]
+        assert b.timecode == b.idx * 250
+        assert b.is_key == (b.idx in {0, 3, 6})
+    with pytest.raises(ValueError):
+        W.video_track(b"nowhere near ebml.............")
+    with pytest.raises(ValueError):  # element overruns its scope
+        W.video_track(data[: len(data) - 5])
+    with pytest.raises(NotImplementedError):
+        W.decode_block(data, t.blocks[0])
+
+
+def test_video_demux_operator_mixed_corpus(spark):
+    """Spark plumbing: mixed MJV1/MP4/WebM corpus demuxes uniformly;
+    keyframe selection returns every-4th sample for MP4/WebM rows
+    (stss / SimpleBlock flags) and all samples for MJV1 rows
+    (independently coded => all sync)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.multimodal import (
+        attach_synthetic_videos,
+        video_demux,
+    )
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    vids = attach_synthetic_videos(ids, "doc_id", n_frames=12, container="mixed")
+    out = video_demux(vids, keyframes_only=True).toPandas()
+    per = out.groupby("image_id").size().to_dict()
+    for k in range(6):
+        name = f"vid-{k:012d}"
+        assert per[name] == (12 if k % 3 == 0 else 3), (k, per)
+    # same id, same frames: payload sizes and dts per sample_idx agree
+    # across all three wraps of the same clip (fps 8 divides 1000)
+    key = ["image_id", "sample_idx"]
+    frames_ref = None
+    for cont in ("mjv1", "mp4", "webm"):
+        cur = video_demux(
+            attach_synthetic_videos(ids, "doc_id", n_frames=12, container=cont)
+        ).toPandas().set_index(key)[["n_bytes", "dts_ms"]].sort_index()
+        if frames_ref is None:
+            frames_ref = cur
+        else:
+            assert cur.equals(frames_ref), cont
