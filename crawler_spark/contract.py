@@ -1469,7 +1469,12 @@ _DUP_CC_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 # O(docs) label table on the executors for the session's lifetime; a
 # long-lived session sweeping scale factors would otherwise accumulate
 # them without bound.  Two entries cover every real access pattern
-# (bench sf + test sf); evicted entries are unpersisted.
+# (bench sf + test sf).  Eviction drops the last Python reference:
+# DataFrame.unpersist() is best-effort here (a localCheckpoint's RDD
+# blocks are not in the SQL cache manager), so actual block release
+# happens when the ContextCleaner collects the dereferenced RDD — the
+# session config forces a JVM GC every 60 s (session.py
+# periodicGC.interval) precisely so that window is bounded.
 _DUP_CC_MEMO_MAX = 2
 
 
@@ -1505,6 +1510,9 @@ def _dup_cc(spark, sf, pair_kind: str = "exact"):
     key = (spark.sparkContext.applicationId, sf, pair_kind)
     hit = _DUP_CC_MEMO.get(key)
     if hit is not None:
+        # true LRU: refresh recency so a hot entry is never the one
+        # evicted in a cyclic three-key workload
+        _DUP_CC_MEMO[key] = _DUP_CC_MEMO.pop(key)
         return hit
     docs = _t(spark, sf, "documents")
     if pair_kind == "minhash":

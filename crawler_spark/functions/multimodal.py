@@ -305,9 +305,11 @@ def video_demux(
     remain fully decodable (frame_sample above).
 
     ``keyframes_only`` selects sync samples (random-access points);
-    ``every_n`` then thins the selection.  WebM/AVI containers raise
-    loudly (declared gap); truncated/garbage bytes contribute the
-    samples validated before the corruption point, like frame_sample.
+    ``every_n`` then thins the selection.  WebM demuxes too (real EBML
+    walk, crawler_spark.webm); only AVI raises loudly (declared
+    av-library gap).  Truncated/garbage bytes contribute nothing for
+    that row (ValueError swallowed — bad bytes are data), like
+    frame_sample.
     """
     from .. import video as V
 

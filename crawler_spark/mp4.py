@@ -27,10 +27,6 @@ from __future__ import annotations
 import struct
 from typing import Iterator, NamedTuple
 
-_FULLBOX_CONTAINERS = frozenset(
-    (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf")
-)
-
 
 class Sample(NamedTuple):
     idx: int  # 0-based sample index within the track
@@ -51,11 +47,24 @@ class Track(NamedTuple):
 
 
 def _u32(b: bytes, o: int) -> int:
+    if o + 4 > len(b):
+        raise ValueError("truncated u32 read")
     return struct.unpack_from(">I", b, o)[0]
 
 
 def _u64(b: bytes, o: int) -> int:
+    if o + 8 > len(b):
+        raise ValueError("truncated u64 read")
     return struct.unpack_from(">Q", b, o)[0]
+
+
+def _check_count(n: int, s: int, e: int, entry_bytes: int, hdr: int, what: str) -> None:
+    """On-wire count fields are UNTRUSTED: a corrupt/hostile count must
+    raise ValueError (bad bytes are data — the guard callers catch),
+    not silently read neighboring boxes' bytes, allocate gigabytes, or
+    escape as struct.error/IndexError and kill the Spark task."""
+    if n < 0 or s + hdr + n * entry_bytes > e:
+        raise ValueError(f"{what} count {n} overruns its box")
 
 
 def iter_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
@@ -101,11 +110,16 @@ def _find_path(data: bytes, start: int, end: int, *path: bytes) -> tuple[int, in
 
 def _stts_deltas(data: bytes, s: int, e: int, n_samples: int) -> list[int]:
     n_entries = _u32(data, s + 4)
+    _check_count(n_entries, s, e, 8, 8, "stts")
     dts, t, o = [], 0, s + 8
     for _ in range(n_entries):
         count, delta = _u32(data, o), _u32(data, o + 4)
+        if count > n_samples:  # counts are bounded by the declared samples
+            count = n_samples
         o += 8
         for _ in range(count):
+            if len(dts) >= n_samples:
+                break
             dts.append(t)
             t += delta
     if len(dts) < n_samples:  # tolerate short stts: extend at last delta
@@ -119,27 +133,33 @@ def _stts_deltas(data: bytes, s: int, e: int, n_samples: int) -> list[int]:
 def _sample_sizes(data: bytes, s: int, e: int) -> list[int]:
     fixed, count = _u32(data, s + 4), _u32(data, s + 8)
     if fixed:
+        if count > (e - s) * 64:  # absurd count with no per-sample table
+            raise ValueError(f"stsz fixed-size count {count} implausible")
         return [fixed] * count
+    _check_count(count, s, e, 4, 12, "stsz")
     return [_u32(data, s + 12 + 4 * i) for i in range(count)]
 
 
 def _chunk_offsets(data: bytes, stbl_s: int, stbl_e: int) -> list[int]:
     hit = _find(data, stbl_s, stbl_e, b"stco")
     if hit is not None:
-        s, _ = hit
+        s, e = hit
         n = _u32(data, s + 4)
+        _check_count(n, s, e, 4, 8, "stco")
         return [_u32(data, s + 8 + 4 * i) for i in range(n)]
     hit = _find(data, stbl_s, stbl_e, b"co64")
     if hit is None:
         raise ValueError("stbl missing stco/co64")
-    s, _ = hit
+    s, e = hit
     n = _u32(data, s + 4)
+    _check_count(n, s, e, 8, 8, "co64")
     return [_u64(data, s + 8 + 8 * i) for i in range(n)]
 
 
 def _stsc_runs(data: bytes, s: int, e: int) -> list[tuple[int, int]]:
     """(first_chunk_1based, samples_per_chunk) runs."""
     n = _u32(data, s + 4)
+    _check_count(n, s, e, 12, 8, "stsc")
     return [
         (_u32(data, s + 8 + 12 * i), _u32(data, s + 12 + 12 * i)) for i in range(n)
     ]
@@ -149,8 +169,9 @@ def _sync_set(data: bytes, stbl_s: int, stbl_e: int) -> set[int] | None:
     hit = _find(data, stbl_s, stbl_e, b"stss")
     if hit is None:
         return None  # no stss box => every sample is a sync sample
-    s, _ = hit
+    s, e = hit
     n = _u32(data, s + 4)
+    _check_count(n, s, e, 4, 8, "stss")
     return {_u32(data, s + 8 + 4 * i) - 1 for i in range(n)}  # 1-based -> 0-based
 
 
@@ -160,6 +181,8 @@ def _track(data: bytes, trak_s: int, trak_e: int) -> Track | None:
     if tkhd is None or mdia is None:
         return None
     ts, te = tkhd
+    if te - ts < 80:  # minimal v0 tkhd payload
+        raise ValueError("truncated tkhd box")
     version = data[ts]
     # tkhd: version(1)+flags(3), then v0: 4+4+4+4+4 / v1: 8+8+4+4+8 to
     # reserved(8)+layer(2)+alt(2)+volume(2)+reserved(2)+matrix(36)

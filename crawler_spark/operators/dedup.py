@@ -118,19 +118,21 @@ def anti_join_seen(
     prefilter (pinned in tests); only the join input size changes.
 
     The collect+broadcast arm is GATED (VERDICT r3 item 6): when the
-    blobs total more than ``_BROADCAST_BLOBS_MAX_BYTES`` the probe is
-    routed through the executor-side cogroup path
-    (:func:`anti_join_seen_partitioned`) instead — the size check is
-    one tiny aggregate over ≤ n_parts rows, and no path ever collects
-    filter state to the driver at scale.
+    blobs would total more than ``_BROADCAST_BLOBS_MAX_BYTES`` the
+    probe is routed through the executor-side cogroup path
+    (:func:`anti_join_seen_partitioned`) instead, and no path ever
+    collects filter state to the driver at scale.  The gate estimates
+    blob bytes from the SEEN key count (build_seen_filters sizes blobs
+    as ``_BITS_PER_KEY`` per key, so the estimate is exact up to the
+    per-partition 1 KiB floor) — aggregating over ``filters`` itself
+    would EXECUTE the unpersisted applyInPandas build once for the
+    gate and again in whichever arm consumes it.
     """
     if filters is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
 
-    total_bytes = (
-        filters.agg(F.sum(F.length("filter")).alias("b")).collect()[0]["b"] or 0
-    )
-    if total_bytes > _BROADCAST_BLOBS_MAX_BYTES:
+    est_bytes = seen.count() * _BITS_PER_KEY // 8 + n_parts * 128
+    if est_bytes > _BROADCAST_BLOBS_MAX_BYTES:
         # adapt the one-epoch BLOOM_SCHEMA blobs to the partitioned
         # state contract and probe them where they live
         state = filters.select(

@@ -20,14 +20,14 @@ decoding its neighbours, so a sample of k frames costs O(k) decode
 work plus an O(n_frames) index walk over length prefixes (no payload
 bytes are touched for skipped frames).
 
-Foreign containers: ISO-BMFF (MP4) files now DEMUX for real via
-crawler_spark.mp4 (pure-spec sample tables — byte ranges, timestamps,
-sync flags; see :func:`demux_samples`); only the codec-payload pixel
-DECODE (avc1/hev1/vp09 entropy coding) still needs an av library this
-sandbox doesn't ship and raises a declared NotImplementedError.
-WebM/AVI remain container-level NotImplementedError.  The Spark
-plumbing in functions/multimodal.py is identical whichever decoder
-sits below.
+Foreign containers: ISO-BMFF (MP4) and Matroska/WebM files now DEMUX
+for real via crawler_spark.mp4 / crawler_spark.webm (pure-spec sample
+tables / EBML walk — byte ranges, timestamps, sync flags; see
+:func:`demux_samples`); only the codec-payload pixel DECODE
+(avc1/hev1/vp09 entropy coding) still needs an av library this
+sandbox doesn't ship and raises a declared NotImplementedError.  AVI
+remains container-level NotImplementedError.  The Spark plumbing in
+functions/multimodal.py is identical whichever decoder sits below.
 
 No reference-repo lineage: e8kor/crawler has no video code; the
 container layout is original and the frame codecs follow public specs

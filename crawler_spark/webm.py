@@ -152,6 +152,8 @@ def video_track(data: bytes) -> VideoTrack:
                     tnum, o = _read_size(data, s2)  # track number is a varint
                     if tnum != number:
                         continue
+                    if e2 - o < 3:  # s16 timecode + flags must fit the element
+                        raise ValueError("truncated SimpleBlock header")
                     (rel,) = struct.unpack_from(">h", data, o)
                     flags = data[o + 2]
                     if flags & _LACING:
@@ -226,9 +228,12 @@ def mux(
     keyframes: set[int] | None = None,
 ) -> bytes:
     """Minimal spec-valid single-video-track WebM: EBML header +
-    Segment(Info, Tracks, one Cluster of unlaced SimpleBlocks at
-    constant frame duration).  ``keyframes`` = 0-based key indices
-    (None => every frame keyed)."""
+    Segment(Info, Tracks, Clusters of unlaced SimpleBlocks at constant
+    frame duration).  ``keyframes`` = 0-based key indices (None =>
+    every frame keyed).  A SimpleBlock timecode is SIGNED 16-bit
+    RELATIVE to its cluster, so a new cluster starts whenever the
+    relative timecode would overflow — long clips mux correctly
+    instead of crashing at ~32 s."""
     if not frames:
         raise ValueError("mux needs at least one frame")
     header = _elem(
@@ -258,15 +263,22 @@ def mux(
         ),
     )
     delta = 1000 // fps  # ms per frame at the default 1ms timecode tick
-    blocks = b""
+    clusters = b""
+    cluster_tc, blocks = 0, b""
     for i, fr in enumerate(frames):
+        abs_tc = i * delta
+        if abs_tc - cluster_tc > 0x7FFF:  # relative s16 would overflow
+            clusters += _elem(
+                _CLUSTER, _elem(_CLUSTER_TC, _uint_payload(cluster_tc)) + blocks
+            )
+            cluster_tc, blocks = abs_tc, b""
         key = keyframes is None or i in keyframes
         blocks += _elem(
             _SIMPLE_BLOCK,
             b"\x81"  # track number 1 as a 1-byte varint
-            + struct.pack(">h", i * delta)
+            + struct.pack(">h", abs_tc - cluster_tc)
             + bytes([_KEYFRAME if key else 0])
             + fr,
         )
-    cluster = _elem(_CLUSTER, _elem(_CLUSTER_TC, b"\x00") + blocks)
-    return header + _elem(_SEGMENT, info + tracks + cluster)
+    clusters += _elem(_CLUSTER, _elem(_CLUSTER_TC, _uint_payload(cluster_tc)) + blocks)
+    return header + _elem(_SEGMENT, info + tracks + clusters)

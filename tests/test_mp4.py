@@ -138,3 +138,44 @@ def test_video_demux_operator_mixed_corpus(spark):
             frames_ref = cur
         else:
             assert cur.equals(frames_ref), cont
+
+
+def test_corrupt_counts_raise_valueerror_not_crash():
+    """On-wire count fields are untrusted: an inflated stts/stsz/stco/
+    stss count must raise ValueError (the class video_demux swallows),
+    never struct.error/IndexError, never a multi-GB allocation."""
+    pl = _payloads(4)
+    good = M.mux(pl, 8, 8, keyframes={0, 2})
+    for four in (b"stts", b"stsz", b"stco", b"stss", b"stsc"):
+        at = good.find(four)
+        assert at > 0, four
+        bad = bytearray(good)
+        # count field: fullbox version/flags(4) then count -- except stsz
+        # where count sits after sample_size, at +8
+        cnt_off = at + 4 + (8 if four == b"stsz" else 4)
+        struct.pack_into(">I", bad, cnt_off, 0x7FFFFFFF)
+        with pytest.raises(ValueError, match="overruns|implausible|truncated"):
+            M.video_track(bytes(bad))
+
+
+def test_webm_short_simpleblock_and_long_clip():
+    frames = _payloads(3)
+    data = W.mux(frames, 8, 8)
+    # shrink a SimpleBlock to 1 byte after the track varint: header no
+    # longer fits -> ValueError, not struct.error
+    at = data.find(bytes([0xA3]))
+    assert at > 0
+    bad = bytearray(data)
+    # 0xA3 id (1 byte) then 4-byte size; rewrite size to 2 (varint 4-byte form)
+    struct.pack_into(">I", bad, at + 1, (1 << 28) | 2)
+    with pytest.raises(ValueError):
+        W.video_track(bytes(bad))
+    # long clip: 300 frames at 8 fps = 37.5 s > the s16 relative-timecode
+    # range -> must split clusters and still round-trip exactly
+    frames = [bytes([i % 251]) * 5 for i in range(300)]
+    long_clip = W.mux(frames, 8, 8, fps=8, keyframes={0})
+    t = W.video_track(long_clip)
+    assert len(t.blocks) == 300
+    assert [b.timecode for b in t.blocks] == [i * 125 for i in range(300)]
+    for b in t.blocks:
+        assert W.block_payload(long_clip, b) == frames[b.idx]
