@@ -219,7 +219,11 @@ def _track(data: bytes, trak_s: int, trak_e: int) -> Track | None:
     sync = _sync_set(data, ss, se)
 
     # walk chunks: each stsc run applies from its first_chunk until the
-    # next run's first_chunk; samples lay out back-to-back in a chunk
+    # next run's first_chunk; samples lay out back-to-back in a chunk.
+    # stco offsets and stsz sizes are UNTRUSTED absolute values: a
+    # corrupted table would otherwise yield ranges pointing past EOF
+    # that read as silently-empty payloads downstream (mutation-fuzz
+    # finding) — reject them as the corrupt data they are.
     samples: list[Sample] = []
     si = 0
     for ci, chunk_off in enumerate(chunks, start=1):
@@ -233,6 +237,10 @@ def _track(data: bytes, trak_s: int, trak_e: int) -> Track | None:
         for _ in range(per):
             if si >= n:
                 break
+            if off < 0 or off + sizes[si] > len(data):
+                raise ValueError(
+                    f"sample {si} range [{off}, {off + sizes[si]}) beyond EOF"
+                )
             samples.append(
                 Sample(si, off, sizes[si], dts[si], sync is None or si in sync)
             )

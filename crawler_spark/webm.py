@@ -62,6 +62,8 @@ class VideoTrack(NamedTuple):
 
 
 def _read_id(data: bytes, o: int) -> tuple[int, int]:
+    if o >= len(data):
+        raise ValueError("truncated EBML id")
     b0 = data[o]
     for ln in range(1, 5):
         if b0 & (0x80 >> (ln - 1)):
@@ -72,6 +74,8 @@ def _read_id(data: bytes, o: int) -> tuple[int, int]:
 
 
 def _read_size(data: bytes, o: int) -> tuple[int, int]:
+    if o >= len(data):
+        raise ValueError("truncated EBML size")
     b0 = data[o]
     for ln in range(1, 9):
         if b0 & (0x80 >> (ln - 1)):

@@ -179,3 +179,16 @@ def test_webm_short_simpleblock_and_long_clip():
     assert [b.timecode for b in t.blocks] == [i * 125 for i in range(300)]
     for b in t.blocks:
         assert W.block_payload(long_clip, b) == frames[b.idx]
+
+
+def test_corrupt_stco_offset_beyond_eof_rejected():
+    """A corrupted chunk offset must raise ValueError, not silently
+    report a sample range past EOF (mutation-fuzz finding: garbage
+    ranges read as empty payloads downstream)."""
+    pl = _payloads(3)
+    good = M.mux(pl, 8, 8)
+    at = good.find(b"stco")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, at + 12, len(good) * 10)  # first chunk offset
+    with pytest.raises(ValueError, match="beyond EOF"):
+        M.video_track(bytes(bad))

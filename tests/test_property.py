@@ -118,3 +118,31 @@ def test_cuckoo_interleaved_ops_no_false_negatives_property(ops, m):
         if live:
             h = np.fromiter(live, dtype=np.int64)
             assert DC._lookup(table, h).all(), "live key lost (false negative)"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+def test_demux_never_leaks_unexpected_exceptions(blob, prefix_kind):
+    """Container demux runs over UNTRUSTED crawled bytes inside a
+    pandas UDF whose guard catches ValueError only — so for arbitrary
+    input (including bytes wearing a valid magic) the demux layer must
+    raise nothing but ValueError / NotImplementedError.  struct.error,
+    IndexError, MemoryError or OverflowError escaping here kills the
+    whole Spark job on one bad file."""
+    from crawler_spark import video as V
+
+    prefix = [
+        b"",
+        b"MJV1",
+        b"\x00\x00\x00\x20ftyp",  # plausible BMFF header
+        b"\x1a\x45\xdf\xa3",  # EBML magic
+    ][prefix_kind]
+    data = prefix + blob
+    try:
+        rows = V.demux_samples(data)
+    except (ValueError, NotImplementedError):
+        return
+    # parsed successfully: every reported range must be sane
+    for idx, off, size, dts_ms, is_sync in rows:
+        assert 0 <= off <= len(data)
+        assert 0 <= size <= len(data) - off
