@@ -64,6 +64,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (ln,) = struct.unpack_from("<I", data, pos + 4)
         pos += 8
         if cid == b"fmt ":
+            if pos + _FMT.size > len(data):
+                raise ValueError("truncated WAV fmt chunk")
             fmt = _FMT.unpack_from(data, pos)
         elif cid == b"data":
             pcm = bytes(data[pos : pos + ln])

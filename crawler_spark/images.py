@@ -39,6 +39,10 @@ QUANT_STEP = 4  # lossy stand-in quantization step → PSNR ≈ 46.9 dB
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _LOSSY_MAGIC = b"LQT1"  # stand-in lossy format magic
+# decode budget for untrusted headers: a corrupt/hostile width×height
+# must not size a multi-GB allocation before any pixel data is checked
+# (64 Mpx ≈ 4x an 8K frame — beyond any fixture or realistic crawl asset)
+_MAX_PIXELS = 1 << 26
 
 
 # ------------------------------------------------------------------ pixels
@@ -133,6 +137,8 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
+            if len(payload) < 13:
+                raise ValueError("truncated IHDR")
             w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13]
             )
@@ -151,9 +157,19 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if not (w and h and idat):
         raise ValueError("truncated PNG")
+    if ctype not in (0, 2, 4, 6):
+        raise ValueError(f"bad PNG color type {ctype}")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} beyond the decode budget")
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(idat)
     stride = 1 + w * nch
+    # cap inflate at the pixel budget the header declares (+1 row of
+    # slack): corrupt/hostile IDAT must not inflate unbounded, and a
+    # zlib stream error is corrupt DATA (ValueError), not a crash
+    try:
+        raw = zlib.decompressobj().decompress(idat, h * stride + stride)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from None
     if len(raw) < h * stride:
         raise ValueError("truncated PNG pixel data")
     prev = np.zeros(w * nch, dtype=np.uint8)
@@ -184,9 +200,23 @@ def encode_lossy(pixels: np.ndarray) -> bytes:
 
 
 def decode_lossy(data: bytes) -> np.ndarray:
-    assert data[:4] == _LOSSY_MAGIC, "not a lossy stand-in payload"
+    # ValueError (not assert) on every corrupt-input shape: this runs
+    # over untrusted crawled bytes under callers that catch ValueError
+    if data[:4] != _LOSSY_MAGIC or len(data) < 13:
+        raise ValueError("not a lossy stand-in payload")
     w, h, step = struct.unpack(">IIB", data[4:13])
-    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
+    if step == 0:
+        raise ValueError("bad lossy stand-in quant step 0")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"lossy stand-in dimensions {w}x{h} beyond the decode budget")
+    try:
+        raw = zlib.decompressobj().decompress(data[13:], h * w * 3 + 3)
+    except zlib.error as e:
+        raise ValueError(f"bad lossy stand-in deflate stream: {e}") from None
+    q = np.frombuffer(raw, dtype=np.uint8)
+    if len(q) < h * w * 3:
+        raise ValueError("truncated lossy stand-in pixel data")
+    q = q[: h * w * 3].reshape(h, w, 3)
     return np.clip(q.astype(np.uint16) * step + step // 2, 0, 255).astype(np.uint8)
 
 

@@ -411,7 +411,20 @@ def _split_restart_segments(scan: bytes) -> list[bytes]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 RGB from baseline 4:4:4 JFIF bytes."""
+    """(H, W, 3) uint8 RGB from baseline 4:4:4 JFIF bytes.
+
+    Corrupt input raises ValueError, whatever shape the corruption
+    takes: entropy-coded streams can fail deep in the Huffman/zigzag
+    walk as IndexError/KeyError/struct.error, and this is the codec
+    boundary where those become "bad bytes are data" for callers whose
+    guard catches ValueError only (fuzz-pinned in test_property.py)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from None
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -444,16 +457,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
-                assert pq == 0, "8-bit quant tables only"
+                if pq != 0:
+                    raise NotImplementedError("8-bit quant tables only")
                 tbl = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
                 qts[tq] = tbl[_UNZZ].reshape(8, 8).astype(np.int32)
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            assert nc == 3, "3-component JPEG only"
+            if nc != 3:
+                raise NotImplementedError("3-component JPEG only")
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
-                assert samp == 0x11, "4:4:4 (1x1 sampling) only"
+                if samp != 0x11:
+                    raise NotImplementedError("4:4:4 (1x1 sampling) only")
                 comp_spec.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("baseline sequential (SOF0) only")

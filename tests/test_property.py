@@ -146,3 +146,33 @@ def test_demux_never_leaks_unexpected_exceptions(blob, prefix_kind):
     for idx, off, size, dts_ms, is_sync in rows:
         assert 0 <= off <= len(data)
         assert 0 <= size <= len(data) - off
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 4))
+def test_media_decoders_never_leak_unexpected_exceptions(blob, prefix_kind):
+    """Same contract as the demux fuzz, for the pixel/PCM decoders:
+    over untrusted bytes (including valid-magic prefixes) only
+    ValueError / NotImplementedError may escape — struct.error,
+    IndexError, KeyError, zlib.error or AssertionError here kills a
+    Spark task on one bad crawled file."""
+    from crawler_spark import audio as A
+    from crawler_spark import images as I
+
+    prefix = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff\xe0",
+        b"LQT1",
+        b"RIFF\x24\x00\x00\x00WAVE",
+    ][prefix_kind]
+    data = prefix + blob
+    for fn in (
+        lambda d: I.decode_image(d, "png"),
+        lambda d: I.decode_image(d, "lqt"),
+        lambda d: A.decode_wav(d),
+    ):
+        try:
+            fn(data)
+        except (ValueError, NotImplementedError):
+            pass
