@@ -2227,13 +2227,78 @@ def q_recrawl_schedule(spark, sf):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # Registry order is LOAD-BEARING: the round driver oracle-checks the
-    # FIRST 50 entries only.  The window below is the round-4 rotation
-    # (VERDICT r3 item 1): every oracle-backed query that had never been
-    # driver-checked, the three oracles upgraded from rows-only in r3,
-    # the fixed q_rollup, the never-checked rows-only multimodal block,
-    # then 11 previously-green canaries spanning every subsystem.
+    # FIRST 50 entries only.  The window below is the round-5 rotation
+    # (VERDICT r4 item 1): front-loaded with q_video_demux (the only
+    # query with zero driver rows in any round) and the canon queries
+    # whose library+oracle were edited in r4 outside the r4 window
+    # (q_url_canon_full/q_url_canon/q_surt_index/q_sitemap_extract),
+    # then q_frame_sample + q_audio_features (code/corpus edited THIS
+    # round: MJV1 dts fix, ADPCM variants), then every remaining entry
+    # whose last driver check predates the r4 refactors (the pass-r3
+    # block) as regression canaries.  Left below the line, with r3
+    # evidence and code verifiably untouched since (git log -L over
+    # 087fb30..HEAD is empty for their spans): q_extract_number,
+    # q_substring_before, q_json_envelope, q_safe_cast, q_run_stamp.
     # Pinned by tests/test_registry_order.py -- edit both together.
     # ------------------------------------------------------------------
+    "q_video_demux": q_video_demux,
+    "q_url_canon_full": q_url_canon_full,
+    "q_url_canon": q_url_canon,
+    "q_surt_index": q_surt_index,
+    "q_sitemap_extract": q_sitemap_extract,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_frame_sample": q_frame_sample,
+    "q_audio_features": q_audio_features,
+    "q_extract_office": q_extract_office,
+    "q_schema_last": q_schema_last,
+    "q_page_url": q_page_url,
+    "q_html_strip": q_html_strip,
+    "q_robots_gate": q_robots_gate,
+    "q_robots_rfc_gate": q_robots_rfc_gate,
+    "q_json_decode": q_json_decode,
+    "q_partitioned_write": q_partitioned_write,
+    "q_frontier_expand": q_frontier_expand,
+    "q_max_page": q_max_page,
+    "q_equi_join": q_equi_join,
+    "q_broadcast_join": q_broadcast_join,
+    "q_group_collect": q_group_collect,
+    "q_union_all": q_union_all,
+    "q_filter_nonempty": q_filter_nonempty,
+    "q_crawl_delay_schedule": q_crawl_delay_schedule,
+    "q_pacing_schedule": q_pacing_schedule,
+    "q_redirect_resolve": q_redirect_resolve,
+    "q_pagerank_hosts": q_pagerank_hosts,
+    "q_authority_order": q_authority_order,
+    "q_anchor_text": q_anchor_text,
+    "q_content_sniff": q_content_sniff,
+    "q_distinct_urls": q_distinct_urls,
+    "q_distinct_urls_approx": q_distinct_urls_approx,
+    "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
+    "q_shard_pack": q_shard_pack,
+    "q_salted_join": q_salted_join,
+    "q_window_dedup": q_window_dedup,
+    "q_semi_join": q_semi_join,
+    "q_lag_delta": q_lag_delta,
+    "q_dedup_exact": q_dedup_exact,
+    "q_fingerprint": q_fingerprint,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_shingle_stats": q_shingle_stats,
+    "q_knn_per_vec": q_knn_per_vec,
+    "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_knn_ivf": q_knn_ivf,
+    "q_image_decode_meta": q_image_decode_meta,
+    # --- end of 50-slot driver-check window; every entry below is
+    # --- driver-green in r4 (CORRECTNESS_r04.json) or r3 with code
+    # --- verifiably untouched since its check (the 5 named above)
+    "q_extract_number": q_extract_number,
+    "q_json_envelope": q_json_envelope,
+    "q_substring_before": q_substring_before,
+    "q_safe_cast": q_safe_cast,
+    "q_run_stamp": q_run_stamp,
     "q_histogram": q_histogram,
     "q_corpus_filter": q_corpus_filter,
     "q_chunk_dedup": q_chunk_dedup,
@@ -2271,8 +2336,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_quality_gate": q_image_quality_gate,
     "q_image_phash_neardup": q_image_phash_neardup,
     "q_image_phash_clusters": q_image_phash_clusters,
-    "q_audio_features": q_audio_features,
-    "q_frame_sample": q_frame_sample,
     "q_crawl_round": q_crawl_round,
     "q_anti_join_dedup": q_anti_join_dedup,
     "q_cuckoo_dedup": q_cuckoo_dedup,
@@ -2284,61 +2347,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_topk": q_embedding_topk,
     "q_sessionize": q_sessionize,
     "q_pivot": q_pivot,
-    # --- end of 50-slot driver-check window; all entries below are
-    # --- driver-green from rounds 1-3 (CORRECTNESS_r0{1,2,3}.json)
-    "q_extract_number": q_extract_number,
-    "q_extract_office": q_extract_office,
-    "q_json_envelope": q_json_envelope,
-    "q_schema_last": q_schema_last,
-    "q_substring_before": q_substring_before,
-    "q_page_url": q_page_url,
-    "q_url_canon": q_url_canon,
-    "q_url_canon_full": q_url_canon_full,
-    "q_sitemap_extract": q_sitemap_extract,
-    "q_surt_index": q_surt_index,
-    "q_snapshot_diff": q_snapshot_diff,
-    "q_html_strip": q_html_strip,
-    "q_robots_gate": q_robots_gate,
-    "q_robots_rfc_gate": q_robots_rfc_gate,
-    "q_safe_cast": q_safe_cast,
-    "q_json_decode": q_json_decode,
-    "q_run_stamp": q_run_stamp,
-    "q_partitioned_write": q_partitioned_write,
-    "q_frontier_expand": q_frontier_expand,
-    "q_max_page": q_max_page,
-    "q_equi_join": q_equi_join,
-    "q_broadcast_join": q_broadcast_join,
-    "q_group_collect": q_group_collect,
-    "q_union_all": q_union_all,
-    "q_filter_nonempty": q_filter_nonempty,
-    "q_crawl_delay_schedule": q_crawl_delay_schedule,
-    "q_pacing_schedule": q_pacing_schedule,
-    "q_redirect_resolve": q_redirect_resolve,
-    "q_pagerank_hosts": q_pagerank_hosts,
-    "q_authority_order": q_authority_order,
-    "q_anchor_text": q_anchor_text,
-    "q_content_sniff": q_content_sniff,
-    "q_distinct_urls": q_distinct_urls,
-    "q_distinct_urls_approx": q_distinct_urls_approx,
-    "q_asof_join": q_asof_join,
-    "q_interval_join": q_interval_join,
-    "q_shard_pack": q_shard_pack,
-    "q_salted_join": q_salted_join,
-    "q_window_dedup": q_window_dedup,
-    "q_semi_join": q_semi_join,
-    "q_lag_delta": q_lag_delta,
-    "q_dedup_exact": q_dedup_exact,
-    "q_fingerprint": q_fingerprint,
-    "q_token_count": q_token_count,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_shingle_stats": q_shingle_stats,
-    "q_knn_per_vec": q_knn_per_vec,
-    "q_embedding_lsh_topk": q_embedding_lsh_topk,
-    "q_embedding_neardup": q_embedding_neardup,
-    "q_knn_ivf": q_knn_ivf,
-    "q_image_decode_meta": q_image_decode_meta,
-    "q_video_demux": q_video_demux,
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"

@@ -58,6 +58,13 @@ def _u64(b: bytes, o: int) -> int:
     return struct.unpack_from(">Q", b, o)[0]
 
 
+# Absolute per-track sample budget: sample tables and the per-sample
+# dts list are O(count) Python objects, so an untrusted count must be
+# bounded by more than just its own box size (see _sample_sizes).
+# 1<<22 samples is >19h of 60fps video — far past any crawled clip.
+_MAX_SAMPLES = 1 << 22
+
+
 def _check_count(n: int, s: int, e: int, entry_bytes: int, hdr: int, what: str) -> None:
     """On-wire count fields are UNTRUSTED: a corrupt/hostile count must
     raise ValueError (bad bytes are data — the guard callers catch),
@@ -133,10 +140,16 @@ def _stts_deltas(data: bytes, s: int, e: int, n_samples: int) -> list[int]:
 def _sample_sizes(data: bytes, s: int, e: int) -> list[int]:
     fixed, count = _u32(data, s + 4), _u32(data, s + 8)
     if fixed:
-        if count > (e - s) * 64:  # absurd count with no per-sample table
+        # The fixed-size arm carries no per-sample table to bound the
+        # count against, so a hostile multi-MB box could still demand
+        # ~500x its size in per-sample Python lists; cap by an absolute
+        # sample budget (the demux twin of images._MAX_PIXELS).
+        if count > _MAX_SAMPLES or count > (e - s) * 64:
             raise ValueError(f"stsz fixed-size count {count} implausible")
         return [fixed] * count
     _check_count(count, s, e, 4, 12, "stsz")
+    if count > _MAX_SAMPLES:
+        raise ValueError(f"stsz count {count} exceeds sample budget")
     return [_u32(data, s + 12 + 4 * i) for i in range(count)]
 
 

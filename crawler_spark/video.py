@@ -156,8 +156,13 @@ def demux_samples(data: bytes) -> list[tuple[int, int, int, int, bool]]:
     if raw[:4] == _MAGIC:
         meta = probe(raw)
         fps = max(1, int(meta["fps"]))
+        # Quantize the per-frame delta exactly like the mp4/webm muxers
+        # (delta = 1000 // fps), so dts_ms is container-uniform for ALL
+        # fps values, not just those dividing 1000 — i * 1000 // fps
+        # would disagree with the containers' i * (1000 // fps) (e.g.
+        # fps=3, frame 3: 999 vs 1000).
         return [
-            (i, off, ln, i * 1000 // fps, True)
+            (i, off, ln, i * (1000 // fps), True)
             for i, off, ln in iter_frame_offsets(raw)
         ]
     if raw[4:8] == b"ftyp":

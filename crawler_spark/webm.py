@@ -121,7 +121,13 @@ def video_track(data: bytes) -> VideoTrack:
     timescale_ns = 1_000_000  # Matroska default
     number, codec, width, height = None, "", 0, 0
     blocks: list[Block] = []
-    for eid, s, e in iter_elements(data, *seg):
+    # Two passes over the Segment: streaming-style muxers may legally
+    # emit Clusters BEFORE the Tracks element, and a single pass would
+    # silently skip those blocks (track number still unknown).  The
+    # first pass only walks element headers (no payload bytes), so the
+    # extra pass costs O(elements), not O(bytes).
+    segment_elements = list(iter_elements(data, *seg))
+    for eid, s, e in segment_elements:
         if eid == _INFO:
             for i2, s2, e2 in iter_elements(data, s, e):
                 if i2 == _TIMECODE_SCALE:
@@ -147,7 +153,10 @@ def video_track(data: bytes) -> VideoTrack:
                 if typ == 1 and num is not None:  # 1 = video
                     number, codec, width, height = num, cod, w, h
                     break
-        elif eid == _CLUSTER and number is not None:
+    if number is None:
+        raise ValueError("no video track")
+    for eid, s, e in segment_elements:
+        if eid == _CLUSTER:
             cluster_tc = 0
             for i2, s2, e2 in iter_elements(data, s, e):
                 if i2 == _CLUSTER_TC:
@@ -171,8 +180,6 @@ def video_track(data: bytes) -> VideoTrack:
                             bool(flags & _KEYFRAME),
                         )
                     )
-    if number is None:
-        raise ValueError("no video track")
     return VideoTrack(number, codec, width, height, timescale_ns, tuple(blocks))
 
 

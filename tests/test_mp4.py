@@ -181,6 +181,70 @@ def test_webm_short_simpleblock_and_long_clip():
         assert W.block_payload(long_clip, b) == frames[b.idx]
 
 
+def test_stsz_sample_budget_caps_hostile_counts():
+    """A multi-MB hostile stsz box must not force multi-GB per-sample
+    lists: both stsz arms are capped by the absolute _MAX_SAMPLES
+    budget, not only by their own box size (ADVICE r4)."""
+    over = M._MAX_SAMPLES + 1
+    # fixed-size arm: count passes the (e-s)*64 plausibility bound
+    # (payload padded past count/64 bytes) but exceeds the budget
+    payload = struct.pack(">III", 0, 1, over) + b"\x00" * (over // 64)
+    with pytest.raises(ValueError, match="implausible"):
+        M._sample_sizes(payload, 0, len(payload))
+    # per-sample-table arm: box large enough to hold the table
+    payload = struct.pack(">III", 0, 0, over) + b"\x00" * (4 * over)
+    with pytest.raises(ValueError, match="sample budget"):
+        M._sample_sizes(payload, 0, len(payload))
+    # at the budget boundary the fixed arm still decodes
+    ok = struct.pack(">III", 0, 1, 1000) + b"\x00" * 64
+    assert M._sample_sizes(ok, 0, len(ok)) == [1] * 1000
+
+
+def test_webm_clusters_before_tracks_streaming_layout():
+    """Spec-legal streaming-style Matroska (Clusters BEFORE Tracks)
+    must demux identically to the canonical layout, not silently yield
+    zero blocks (ADVICE r4: the one-pass walk skipped early Clusters)."""
+    frames = _payloads(6, base=11)
+    data = W.mux(frames, 16, 12, fps=4, keyframes={0, 3})
+    seg_s, seg_e = next(
+        (s, e) for i, s, e in W.iter_elements(data, 0, len(data)) if i == W._SEGMENT
+    )
+    spans = []  # (eid, full element bytes incl. header)
+    o = seg_s
+    while o < seg_e:
+        eid, o2 = W._read_id(data, o)
+        size, o3 = W._read_size(data, o2)
+        spans.append((eid, data[o : o3 + size]))
+        o = o3 + size
+    clusters = [b for i, b in spans if i == W._CLUSTER]
+    others = [b for i, b in spans if i != W._CLUSTER]
+    assert clusters and others
+    streaming = data[:seg_s] + b"".join(clusters + others) + data[seg_e:]
+    assert len(streaming) == len(data)
+    t_ref, t_str = W.video_track(data), W.video_track(streaming)
+    assert (t_str.codec, t_str.width, t_str.height) == (t_ref.codec, 16, 12)
+    assert [(b.size, b.timecode, b.is_key) for b in t_str.blocks] == [
+        (b.size, b.timecode, b.is_key) for b in t_ref.blocks
+    ]
+    for b in t_str.blocks:
+        assert W.block_payload(streaming, b) == frames[b.idx]
+
+
+def test_dts_container_uniform_when_fps_does_not_divide_1000():
+    """All three containers quantize the frame delta to 1000 // fps, so
+    dts_ms agrees for fps values that do NOT divide 1000 (ADVICE r4:
+    MJV1 reported i*1000//fps, drifting from the muxers at e.g. fps=3)."""
+    import numpy as np
+
+    frames_np = [np.full((8, 8, 3), 40 + i, dtype=np.uint8) for i in range(7)]
+    mjv = V.encode_video(frames_np, fps=3)
+    frames = [mjv[o : o + ln] for _, o, ln in V.iter_frame_offsets(mjv)]
+    mp = M.mux(frames, 8, 8, fps=3)
+    wb = W.mux(frames, 8, 8, fps=3)
+    dts = [[d for *_, d, _ in V.demux_samples(x)] for x in (mjv, mp, wb)]
+    assert dts[0] == dts[1] == dts[2] == [i * 333 for i in range(7)]
+
+
 def test_corrupt_stco_offset_beyond_eof_rejected():
     """A corrupted chunk offset must raise ValueError, not silently
     report a sample range past EOF (mutation-fuzz finding: garbage

@@ -12,25 +12,29 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 from crawler_spark import contract
 
-# Round-4 rotation: 28 never-driver-checked oracle-backed queries, the 3
-# oracles upgraded from rows-only in r3, the fixed q_rollup, the 7
-# never-checked rows-only multimodal queries, then 11 previously-green
-# regression canaries spanning every subsystem.
+# Round-5 rotation (VERDICT r4 item 1): q_video_demux (only query with
+# zero driver rows ever) first, then the canon queries whose
+# library+oracle were edited in r4 outside the r4 window, then
+# q_frame_sample/q_audio_features (code/corpus edited in r5), then the
+# whole remaining pass-r3 block as regression canaries.  The 5 entries
+# left out (q_extract_number, q_substring_before, q_json_envelope,
+# q_safe_cast, q_run_stamp) have r3 driver evidence and code verifiably
+# untouched since (empty `git log -L` over 087fb30..HEAD).
 DRIVER_WINDOW = [
-    "q_histogram", "q_corpus_filter", "q_chunk_dedup", "q_boilerplate",
-    "q_pii_scrub", "q_source_quality", "q_trap_detect", "q_mirror_hosts",
-    "q_recrawl_schedule", "q_domain_cap", "q_crawl_budget", "q_decontaminate",
-    "q_outlink_extract", "q_weighted_sample", "q_inverted_index",
-    "q_cluster_canonical", "q_percentiles", "q_heavy_hitters", "q_bigram_topk",
-    "q_repetition_ratio", "q_lm_score", "q_substring_dedup", "q_tfidf_topk",
-    "q_train_split", "q_stratified_sample", "q_dup_clusters",
-    "q_neardup_dedup", "q_incremental_neardup", "q_minhash_neardup",
-    "q_simhash_neardup", "q_rolling_fingerprint", "q_rollup", "q_image_psnr",
-    "q_pair_quality", "q_image_quality_gate", "q_image_phash_neardup",
-    "q_image_phash_clusters", "q_audio_features", "q_frame_sample",
-    "q_crawl_round", "q_anti_join_dedup", "q_cuckoo_dedup", "q_order_by",
-    "q_host_budget_topk", "q_time_rollup", "q_metrics_counts",
-    "q_ngram_jaccard", "q_embedding_topk", "q_sessionize", "q_pivot",
+    "q_video_demux", "q_url_canon_full", "q_url_canon", "q_surt_index",
+    "q_sitemap_extract", "q_snapshot_diff", "q_frame_sample",
+    "q_audio_features", "q_extract_office", "q_schema_last", "q_page_url",
+    "q_html_strip", "q_robots_gate", "q_robots_rfc_gate", "q_json_decode",
+    "q_partitioned_write", "q_frontier_expand", "q_max_page", "q_equi_join",
+    "q_broadcast_join", "q_group_collect", "q_union_all", "q_filter_nonempty",
+    "q_crawl_delay_schedule", "q_pacing_schedule", "q_redirect_resolve",
+    "q_pagerank_hosts", "q_authority_order", "q_anchor_text",
+    "q_content_sniff", "q_distinct_urls", "q_distinct_urls_approx",
+    "q_asof_join", "q_interval_join", "q_shard_pack", "q_salted_join",
+    "q_window_dedup", "q_semi_join", "q_lag_delta", "q_dedup_exact",
+    "q_fingerprint", "q_token_count", "q_quality_score", "q_lang_id",
+    "q_shingle_stats", "q_knn_per_vec", "q_embedding_lsh_topk",
+    "q_embedding_neardup", "q_knn_ivf", "q_image_decode_meta",
 ]
 
 
@@ -48,11 +52,12 @@ def test_every_oracle_key_is_registered():
 
 
 def test_window_queries_exist_and_mostly_oracle_backed():
-    # 43 of the 50 window slots are oracle-backed; the 7 rows-only
-    # multimodal queries are the declared exceptions.
+    # 42 of the 50 window slots are oracle-backed; the 8 rows-only
+    # queries (multimodal + declared no-oracle-by-design) are the
+    # exceptions.
     rows_only = {n for n in DRIVER_WINDOW if n not in contract.ORACLES}
     assert rows_only == {
-        "q_image_psnr", "q_pair_quality", "q_image_quality_gate",
-        "q_image_phash_neardup", "q_image_phash_clusters",
-        "q_audio_features", "q_frame_sample",
+        "q_video_demux", "q_frame_sample", "q_audio_features",
+        "q_partitioned_write", "q_distinct_urls_approx",
+        "q_embedding_lsh_topk", "q_knn_ivf", "q_image_decode_meta",
     }
