@@ -373,11 +373,12 @@ def attach_synthetic_videos(
     containers, real PNG/JPEG frames — crawler_spark.video / .mp4);
     the video analogue of attach_synthetic_images below.
 
-    ``container``: ``"mjv1"`` (default), ``"mp4"`` / ``"webm"`` (the
-    SAME encoded frame payloads re-wrapped in a spec-valid ISO-BMFF /
-    Matroska file, sync samples every 4th frame), or ``"mixed"``
-    (ids cycle mjv1/mp4/webm by k%3 — exercises the container-uniform
-    demux path across all three)."""
+    ``container``: ``"mjv1"`` (default), ``"mp4"`` / ``"fmp4"`` /
+    ``"webm"`` (the SAME encoded frame payloads re-wrapped in a
+    spec-valid progressive ISO-BMFF / movie-fragmented DASH-style
+    ISO-BMFF / Matroska file, sync samples every 4th frame), or
+    ``"mixed"`` (ids cycle mjv1/mp4/fmp4/webm by k%4 — exercises the
+    container-uniform demux path across all four)."""
     from .. import mp4 as M
     from .. import video as V
     from .. import webm as WB
@@ -387,7 +388,7 @@ def attach_synthetic_videos(
         mjv = V.gen_video(seed, k, w, h, n_frames, fmt)
         kind = container
         if container == "mixed":
-            kind = ("mjv1", "mp4", "webm")[k % 3]
+            kind = ("mjv1", "mp4", "fmp4", "webm")[k % 4]
         if kind == "mjv1":
             return mjv, fmt
         payloads = [mjv[o : o + ln] for _, o, ln in V.iter_frame_offsets(mjv)]
@@ -395,6 +396,11 @@ def attach_synthetic_videos(
         keys = set(range(0, n_frames, 4))
         if kind == "mp4":
             return M.mux(payloads, w, h, fps=fps, keyframes=keys, codec=b"mjpa"), fmt
+        if kind == "fmp4":
+            return (
+                M.mux_fragmented(payloads, w, h, fps=fps, keyframes=keys),
+                fmt,
+            )
         return WB.mux(payloads, w, h, fps=fps, keyframes=keys), fmt
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

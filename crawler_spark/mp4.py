@@ -74,10 +74,12 @@ def _check_count(n: int, s: int, e: int, entry_bytes: int, hdr: int, what: str) 
         raise ValueError(f"{what} count {n} overruns its box")
 
 
-def iter_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
-    """Yield (fourcc, payload_start, payload_end) for each box in
-    [start, end).  Truncated/absurd sizes raise ValueError — corrupt
-    bytes are data, and callers decide how loudly to fail."""
+def _iter_boxes_h(
+    data: bytes, start: int, end: int
+) -> Iterator[tuple[bytes, int, int, int]]:
+    """Yield (fourcc, box_start, payload_start, payload_end) for each
+    box in [start, end).  box_start is the first byte of the box header
+    — fragment addressing (default-base-is-moof) is relative to it."""
     o = start
     while o < end:
         if o + 8 > end:
@@ -94,8 +96,16 @@ def iter_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, 
             size = end - o
         if size < hdr or o + size > end:
             raise ValueError(f"box {typ!r} size {size} overruns scope")
-        yield typ, o + hdr, o + size
+        yield typ, o, o + hdr, o + size
         o += size
+
+
+def iter_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    [start, end).  Truncated/absurd sizes raise ValueError — corrupt
+    bytes are data, and callers decide how loudly to fail."""
+    for typ, _, s, e in _iter_boxes_h(data, start, end):
+        yield typ, s, e
 
 
 def _find(data: bytes, start: int, end: int, fourcc: bytes) -> tuple[int, int] | None:
@@ -262,21 +272,229 @@ def _track(data: bytes, trak_s: int, trak_e: int) -> Track | None:
     return Track(track_id, handler, codec, width, height, timescale, tuple(samples))
 
 
+# ------------------------------------------------------------- fragments
+# Movie-fragment (moof/traf) support — ISO/IEC 14496-12 §8.8: DASH and
+# streaming captures carry their sample tables per-fragment (tfhd
+# defaults + trun entries), with the moov holding only empty stbl
+# tables plus the mvex/trex fragment defaults.
+
+_TFHD_BASE_OFF = 0x1
+_TFHD_DESC_IDX = 0x2
+_TFHD_DEF_DUR = 0x8
+_TFHD_DEF_SIZE = 0x10
+_TFHD_DEF_FLAGS = 0x20
+_TFHD_BASE_IS_MOOF = 0x20000
+_TRUN_DATA_OFF = 0x1
+_TRUN_FIRST_FLAGS = 0x4
+_TRUN_DUR = 0x100
+_TRUN_SIZE = 0x200
+_TRUN_FLAGS = 0x400
+_TRUN_CTS = 0x800
+_NON_SYNC = 0x10000  # sample_is_non_sync_sample bit of the sample flags
+
+
+def _parse_trex(data: bytes, moov_s: int, moov_e: int) -> dict[int, tuple[int, int, int]]:
+    """track_id -> (default_duration, default_size, default_flags)."""
+    out: dict[int, tuple[int, int, int]] = {}
+    mvex = _find(data, moov_s, moov_e, b"mvex")
+    if mvex is None:
+        return out
+    for typ, s, e in iter_boxes(data, *mvex):
+        if typ == b"trex":
+            if e - s < 24:
+                raise ValueError("truncated trex box")
+            out[_u32(data, s + 4)] = (
+                _u32(data, s + 12),
+                _u32(data, s + 16),
+                _u32(data, s + 20),
+            )
+    return out
+
+
+def _parse_tfhd(data: bytes, s: int, e: int):
+    flags = int.from_bytes(data[s + 1 : s + 4], "big")
+    o = s + 4
+    if o + 4 > e:
+        raise ValueError("truncated tfhd box")
+    track_id = _u32(data, o)
+    o += 4
+    base_off = None
+    if flags & _TFHD_BASE_OFF:
+        base_off = _u64(data, o)
+        o += 8
+    if flags & _TFHD_DESC_IDX:
+        o += 4
+    d_dur = d_size = d_flags = None
+    if flags & _TFHD_DEF_DUR:
+        d_dur = _u32(data, o)
+        o += 4
+    if flags & _TFHD_DEF_SIZE:
+        d_size = _u32(data, o)
+        o += 4
+    if flags & _TFHD_DEF_FLAGS:
+        d_flags = _u32(data, o)
+        o += 4
+    if o > e:
+        raise ValueError("tfhd fields overrun its box")
+    return track_id, flags, base_off, d_dur, d_size, d_flags
+
+
+def _parse_trun(data: bytes, s: int, e: int):
+    """-> (data_offset|None, first_sample_flags|None,
+    [(duration|None, size|None, flags|None), ...])."""
+    flags = int.from_bytes(data[s + 1 : s + 4], "big")
+    o = s + 4
+    count = _u32(data, o)
+    o += 4
+    per = 4 * sum(
+        1 for f in (_TRUN_DUR, _TRUN_SIZE, _TRUN_FLAGS, _TRUN_CTS) if flags & f
+    )
+    need = (
+        o
+        + 4 * bool(flags & _TRUN_DATA_OFF)
+        + 4 * bool(flags & _TRUN_FIRST_FLAGS)
+        + count * per
+    )
+    if count > _MAX_SAMPLES or need > e:
+        raise ValueError(f"trun count {count} overruns its box")
+    data_off = None
+    if flags & _TRUN_DATA_OFF:
+        (data_off,) = struct.unpack_from(">i", data, o)  # signed per spec
+        o += 4
+    first_flags = None
+    if flags & _TRUN_FIRST_FLAGS:
+        first_flags = _u32(data, o)
+        o += 4
+    rows = []
+    for _ in range(count):
+        dur = size = sfl = None
+        if flags & _TRUN_DUR:
+            dur = _u32(data, o)
+            o += 4
+        if flags & _TRUN_SIZE:
+            size = _u32(data, o)
+            o += 4
+        if flags & _TRUN_FLAGS:
+            sfl = _u32(data, o)
+            o += 4
+        if flags & _TRUN_CTS:
+            o += 4  # composition offset shifts pts only; dts is ours
+        rows.append((dur, size, sfl))
+    return data_off, first_flags, rows
+
+
+def _fragment_samples(
+    data: bytes,
+    trex: dict[int, tuple[int, int, int]],
+    start_idx: dict[int, int],
+    start_dts: dict[int, int],
+) -> dict[int, list[Sample]]:
+    """Walk every top-level moof and resolve its trafs' trun entries to
+    absolute byte ranges / decode times / sync flags, continuing sample
+    index and decode time per track from the moov's (normally empty)
+    sample tables."""
+    out: dict[int, list[Sample]] = {}
+    idx = dict(start_idx)
+    dts = dict(start_dts)
+    for typ, box_s, s, e in _iter_boxes_h(data, 0, len(data)):
+        if typ != b"moof":
+            continue
+        running_end = None  # end of previous traf's data within this moof
+        first_traf = True
+        for t2, s2, e2 in iter_boxes(data, s, e):
+            if t2 != b"traf":
+                continue
+            tfhd = _find(data, s2, e2, b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf without tfhd")
+            track_id, tf_flags, base_off, d_dur, d_size, d_flags = _parse_tfhd(
+                data, *tfhd
+            )
+            tx_dur, tx_size, tx_flags = trex.get(track_id, (None, None, None))
+            if base_off is not None:
+                base = base_off
+            elif tf_flags & _TFHD_BASE_IS_MOOF or first_traf or running_end is None:
+                base = box_s
+            else:
+                base = running_end
+            first_traf = False
+            tfdt = _find(data, s2, e2, b"tfdt")
+            if tfdt is not None:
+                ts_, te_ = tfdt
+                t = _u64(data, ts_ + 4) if data[ts_] else _u32(data, ts_ + 4)
+            else:
+                t = dts.get(track_id, 0)
+            i = idx.get(track_id, 0)
+            samples = out.setdefault(track_id, [])
+            cur = None  # data cursor; first trun without data_offset -> base
+            for t3, s3, e3 in iter_boxes(data, s2, e2):
+                if t3 != b"trun":
+                    continue
+                data_off, first_flags, rows = _parse_trun(data, s3, e3)
+                cur = base + data_off if data_off is not None else (cur or base)
+                for ri, (dur, size, sfl) in enumerate(rows):
+                    size = size if size is not None else (d_size or tx_size)
+                    dur = dur if dur is not None else (d_dur or tx_dur)
+                    if size is None or dur is None:
+                        raise ValueError(
+                            f"trun sample missing size/duration and no tfhd/"
+                            f"trex default (track {track_id})"
+                        )
+                    if sfl is None:
+                        sfl = (
+                            first_flags
+                            if (ri == 0 and first_flags is not None)
+                            else (d_flags if d_flags is not None else (tx_flags or 0))
+                        )
+                    if cur < 0 or cur + size > len(data):
+                        raise ValueError(
+                            f"fragment sample {i} range [{cur}, {cur + size}) "
+                            "beyond EOF"
+                        )
+                    samples.append(Sample(i, cur, size, t, not sfl & _NON_SYNC))
+                    cur += size
+                    t += dur
+                    i += 1
+            idx[track_id] = i
+            dts[track_id] = t
+            running_end = cur
+    return out
+
+
 def tracks(data: bytes) -> list[Track]:
-    """All tracks with resolved sample tables.  ValueError on non-BMFF
-    or structurally corrupt input."""
+    """All tracks with resolved sample tables — progressive (stbl) and
+    movie-fragmented (moof/traf/trun) samples combined.  ValueError on
+    non-BMFF or structurally corrupt input; a media segment shipped
+    WITHOUT its init segment raises with a say-how-to-fix message."""
     data = bytes(data)
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO base-media file (no leading ftyp)")
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
-        raise ValueError("no moov box (fragmented/streaming MP4 unsupported)")
+        if _find(data, 0, len(data), b"moof") is not None:
+            raise ValueError(
+                "fMP4 media segment without its init segment (moov): "
+                "concatenate init segment + media segment bytes"
+            )
+        raise ValueError("no moov box")
     out = []
     for typ, s, e in iter_boxes(data, *moov):
         if typ == b"trak":
             t = _track(data, s, e)
             if t is not None:
                 out.append(t)
+    if _find(data, 0, len(data), b"moof") is not None:
+        trex = _parse_trex(data, *moov)
+        frag = _fragment_samples(
+            data,
+            trex,
+            {t.track_id: len(t.samples) for t in out},
+            {t.track_id: (t.samples[-1].dts if t.samples else 0) for t in out},
+        )
+        out = [
+            t._replace(samples=t.samples + tuple(frag.get(t.track_id, ())))
+            for t in out
+        ]
     return out
 
 
@@ -365,30 +583,7 @@ def mux(
     stco = _full(
         b"stco", 0, 0, struct.pack(">I", n) + b"".join(struct.pack(">I", x) for x in offsets)
     )
-    boxes = [
-        _full(
-            b"stsd",
-            0,
-            0,
-            struct.pack(">I", 1)
-            + _box(
-                codec,
-                b"\x00" * 6
-                + struct.pack(">H", 1)  # data_reference_index
-                + b"\x00" * 16
-                + struct.pack(">HH", width, height)
-                + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
-                + b"\x00" * 4
-                + struct.pack(">H", 1)  # frame count
-                + b"\x00" * 32  # compressor name
-                + struct.pack(">Hh", 24, -1),  # depth, color table
-            ),
-        ),
-        stts,
-        stsc,
-        stsz,
-        stco,
-    ]
+    boxes = [_stsd_box(codec, width, height), stts, stsc, stsz, stco]
     if keyframes is not None:
         boxes.append(
             _full(
@@ -399,7 +594,40 @@ def mux(
                 + b"".join(struct.pack(">I", i + 1) for i in sorted(keyframes)),
             )
         )
-    stbl = _box(b"stbl", b"".join(boxes))
+    moov = _moov_box(width, height, timescale, duration, b"".join(boxes))
+    return ftyp + mdat + moov
+
+
+def _stsd_box(codec: bytes, width: int, height: int) -> bytes:
+    return _full(
+        b"stsd",
+        0,
+        0,
+        struct.pack(">I", 1)
+        + _box(
+            codec,
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)  # frame count
+            + b"\x00" * 32  # compressor name
+            + struct.pack(">Hh", 24, -1),  # depth, color table
+        ),
+    )
+
+
+def _moov_box(
+    width: int,
+    height: int,
+    timescale: int,
+    duration: int,
+    stbl_inner: bytes,
+    mvex_inner: bytes = b"",
+) -> bytes:
+    stbl = _box(b"stbl", stbl_inner)
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
     minf = _box(
         b"minf",
@@ -433,5 +661,82 @@ def mux(
         + b"\x00" * 24
         + struct.pack(">I", 2),  # next track id
     )
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    mvex = _box(b"mvex", mvex_inner) if mvex_inner else b""
+    return _box(b"moov", mvhd + trak + mvex)
+
+
+def mux_fragmented(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 8,
+    codec: bytes = b"mjpa",
+    keyframes: set[int] | None = None,
+    timescale: int = 1000,
+    samples_per_fragment: int = 4,
+) -> bytes:
+    """Minimal spec-valid fragmented MP4 (the DASH/streaming layout):
+    ftyp | moov (EMPTY stbl + mvex/trex) | [moof | mdat]+ — sample
+    sizes and sync flags per-sample in each trun, constant duration as
+    the tfhd default, tfdt carrying the fragment's baseMediaDecodeTime,
+    default-base-is-moof addressing.  ``keyframes`` = 0-based sync
+    indices over the WHOLE clip (None => all sync)."""
+    if not samples:
+        raise ValueError("mux needs at least one sample")
+    if samples_per_fragment < 1:
+        raise ValueError("samples_per_fragment must be >= 1")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    delta = timescale // fps
+    n = len(samples)
+    # empty progressive tables: all real samples live in the fragments
+    empty_stbl = b"".join(
+        [
+            _stsd_box(codec, width, height),
+            _full(b"stts", 0, 0, struct.pack(">I", 0)),
+            _full(b"stsc", 0, 0, struct.pack(">I", 0)),
+            _full(b"stsz", 0, 0, struct.pack(">II", 0, 0)),
+            _full(b"stco", 0, 0, struct.pack(">I", 0)),
+        ]
+    )
+    trex = _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta, 0, 0x00010000)
+    )  # track 1: default duration, sizes per-trun, default non-sync
+    moov = _moov_box(width, height, timescale, n * delta, empty_stbl, trex)
+
+    def sample_flags(i: int) -> int:
+        if keyframes is None or i in keyframes:
+            return 0x02000000  # depends_on=2 (I-sample), sync
+        return 0x01010000  # depends_on=1, sample_is_non_sync_sample
+
+    out = [ftyp, moov]
+    for seq, frag_start in enumerate(range(0, n, samples_per_fragment), start=1):
+        chunk = samples[frag_start : frag_start + samples_per_fragment]
+
+        def build_moof(data_offset: int) -> bytes:
+            mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+            tfhd = _full(
+                b"tfhd",
+                0,
+                _TFHD_BASE_IS_MOOF | _TFHD_DEF_DUR,
+                struct.pack(">II", 1, delta),
+            )
+            tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", frag_start * delta))
+            trun_rows = b"".join(
+                struct.pack(">II", len(p), sample_flags(frag_start + j))
+                for j, p in enumerate(chunk)
+            )
+            trun = _full(
+                b"trun",
+                0,
+                _TRUN_DATA_OFF | _TRUN_SIZE | _TRUN_FLAGS,
+                struct.pack(">Ii", len(chunk), data_offset) + trun_rows,
+            )
+            return _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+
+        # data_offset is moof-relative and includes the mdat header; the
+        # moof's length is independent of the offset value, so build
+        # once to measure, once with the real offset.
+        moof = build_moof(len(build_moof(0)) + 8)
+        out.append(moof)
+        out.append(_box(b"mdat", b"".join(chunk)))
+    return b"".join(out)

@@ -108,10 +108,10 @@ def test_webm_roundtrip_and_corrupt():
 
 
 def test_video_demux_operator_mixed_corpus(spark):
-    """Spark plumbing: mixed MJV1/MP4/WebM corpus demuxes uniformly;
-    keyframe selection returns every-4th sample for MP4/WebM rows
-    (stss / SimpleBlock flags) and all samples for MJV1 rows
-    (independently coded => all sync)."""
+    """Spark plumbing: mixed MJV1/MP4/fMP4/WebM corpus demuxes
+    uniformly; keyframe selection returns every-4th sample for
+    MP4/fMP4/WebM rows (stss / trun sample flags / SimpleBlock flags)
+    and all samples for MJV1 rows (independently coded => all sync)."""
     from pyspark.sql import functions as F
 
     from crawler_spark.functions.multimodal import (
@@ -119,18 +119,18 @@ def test_video_demux_operator_mixed_corpus(spark):
         video_demux,
     )
 
-    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
     vids = attach_synthetic_videos(ids, "doc_id", n_frames=12, container="mixed")
     out = video_demux(vids, keyframes_only=True).toPandas()
     per = out.groupby("image_id").size().to_dict()
-    for k in range(6):
+    for k in range(8):
         name = f"vid-{k:012d}"
-        assert per[name] == (12 if k % 3 == 0 else 3), (k, per)
+        assert per[name] == (12 if k % 4 == 0 else 3), (k, per)
     # same id, same frames: payload sizes and dts per sample_idx agree
-    # across all three wraps of the same clip (fps 8 divides 1000)
+    # across all four wraps of the same clip (fps 8 divides 1000)
     key = ["image_id", "sample_idx"]
     frames_ref = None
-    for cont in ("mjv1", "mp4", "webm"):
+    for cont in ("mjv1", "mp4", "fmp4", "webm"):
         cur = video_demux(
             attach_synthetic_videos(ids, "doc_id", n_frames=12, container=cont)
         ).toPandas().set_index(key)[["n_bytes", "dts_ms"]].sort_index()
@@ -179,6 +179,63 @@ def test_webm_short_simpleblock_and_long_clip():
     assert [b.timecode for b in t.blocks] == [i * 125 for i in range(300)]
     for b in t.blocks:
         assert W.block_payload(long_clip, b) == frames[b.idx]
+
+
+def test_fragmented_mux_demux_roundtrip_exact():
+    """fMP4 (moof/traf/tfhd/tfdt/trun) resolves to the SAME sample
+    table as the progressive mux of the same payloads: byte ranges,
+    dts, sync flags — across fragment-size boundaries."""
+    pl = _payloads()
+    for spf in (1, 4, 5, 12, 20):
+        data = M.mux_fragmented(
+            pl, 32, 24, fps=8, keyframes={0, 4, 8}, samples_per_fragment=spf
+        )
+        t = M.video_track(data)
+        assert (t.codec, t.width, t.height, t.timescale) == (b"mjpa", 32, 24, 1000)
+        assert len(t.samples) == len(pl)
+        for s in t.samples:
+            assert M.sample_payload(data, s) == pl[s.idx]
+            assert s.dts == s.idx * 125
+            assert s.is_sync == (s.idx in {0, 4, 8})
+    # keyframes=None => every trun sample flagged sync
+    allsync = M.mux_fragmented(pl, 32, 24, samples_per_fragment=3)
+    assert all(s.is_sync for s in M.video_track(allsync).samples)
+    # probe sees the combined (moov+fragments) table
+    p = M.probe(M.mux_fragmented(pl, 32, 24, keyframes={0}, samples_per_fragment=4))
+    assert (p["n_samples"], p["n_sync"]) == (12, 1)
+
+
+def test_fragmented_corrupt_inputs_raise_valueerror():
+    """Fragment-side count/offset fields are as untrusted as the stbl
+    ones: corrupt trun counts, truncated tfhd, and out-of-file sample
+    ranges raise ValueError, never struct.error or a giant allocation;
+    a media segment without its init segment says how to fix it."""
+    pl = _payloads(6)
+    good = M.mux_fragmented(pl, 16, 12, keyframes={0, 3}, samples_per_fragment=3)
+    # hostile trun count
+    at = good.find(b"trun")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, at + 8, 0x7FFFFFFF)  # count field
+    with pytest.raises(ValueError, match="trun count"):
+        M.video_track(bytes(bad))
+    # truncated tfhd: shrink its box size below the fixed header
+    at = good.find(b"tfhd")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, at - 4, 9)
+    with pytest.raises(ValueError, match="tfhd|overrun"):
+        M.video_track(bytes(bad))
+    # trun data_offset pointing past EOF
+    at = good.find(b"trun")
+    bad = bytearray(good)
+    struct.pack_into(">i", bad, at + 12, len(good) * 4)  # data_offset field
+    with pytest.raises(ValueError, match="beyond EOF"):
+        M.video_track(bytes(bad))
+    # media segment missing its init segment: actionable message
+    moof_at = good.find(b"moof") - 4
+    ftyp_end = 8 + M._u32(good, 0) - 8  # keep leading ftyp, drop moov
+    segment = good[:ftyp_end] + good[moof_at:]
+    with pytest.raises(ValueError, match="init segment"):
+        M.video_track(segment)
 
 
 def test_stsz_sample_budget_caps_hostile_counts():
