@@ -1871,11 +1871,12 @@ def q_image_quality_gate(spark, sf):
 
 
 def q_audio_features(spark, sf):
-    """Audio-modality feature extraction over REAL RIFF/WAVE PCM16
-    payloads (crawler_spark.audio — the one modality whose codec needs
-    no external library, so nothing here is a stand-in): duration, RMS
-    level, zero-crossing rate, FFT-dominant pitch per clip, one Arrow
-    kernel, bytes never shuffle.  Rows-only: PCM decode + FFT are not
+    """Audio-modality feature extraction over REAL RIFF/WAVE payloads
+    (crawler_spark.audio — PCM16 plus IMA ADPCM, neither needing an
+    external library, so nothing here is a stand-in; every 4th clip in
+    the corpus is a real format-0x11 ADPCM file): duration, RMS level,
+    zero-crossing rate, FFT-dominant pitch per clip, one Arrow kernel,
+    bytes never shuffle.  Rows-only: PCM/ADPCM decode + FFT are not
     DuckDB-expressible; ground-truth pitch recovery is test-pinned."""
     docs = _t(spark, sf, "documents").limit(200)
     from .functions.multimodal import attach_synthetic_audio, audio_features

@@ -15,11 +15,13 @@ Each iteration is one shuffle join (edges x labels) + one min-agg —
 converges in O(max component diameter) iterations.  Near-dup graphs
 are the friendly regime: components are small dense cliques (diameter
 1-3), so 2-4 iterations close even at 10^10 docs.  For adversarially
-long chains the alternating large-star/small-star algorithm (Kiveris
-et al., "Connected Components in MapReduce and Beyond", SOCC 2014)
-converges in O(log n) rounds with the same join primitives — this
-module picks the simpler recurrence because the consumer is near-dup
-clustering, and documents the swap.
+long chains pass ``algorithm="star"``: the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC 2014) converges in
+O(log^2 n) rounds with the same join primitives, independent of
+component diameter.  min-label stays the default because its
+per-round cost is lower in the clique regime the near-dup consumers
+produce.
 
 Convergence detection is O(1) extra work: labels only ever DECREASE
 (min of mins), so the global sum of labels strictly decreases until
@@ -43,6 +45,7 @@ def connected_components(
     b: str = "b",
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    algorithm: str = "min-label",
 ) -> DataFrame:
     """(node, component) for every node, component = min node id in its
     connected component.  ``edges`` are undirected pairs; ``nodes``
@@ -52,7 +55,20 @@ def connected_components(
     min-id invariant.  Node ids must be numeric: the convergence check
     compares the global label SUM (monotone under min-propagation),
     which a string id type would turn into a NULL == NULL early-stop
-    with wrong labels."""
+    with wrong labels.
+
+    ``algorithm``: ``"min-label"`` (default) converges in O(component
+    diameter) iterations — right for near-dup graphs (small dense
+    cliques, diameter 1-3) and raises past ``max_iter`` rather than
+    silently mislabeling.  ``"star"`` is the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC 2014): O(log^2 n) rounds
+    regardless of diameter — the fallback the min-label error message
+    points long-chain graphs at.  Identical output contract."""
+    if algorithm == "star":
+        return _cc_star(edges, a, b, nodes, max_iter)
+    if algorithm != "min-label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: min-label | star")
     und = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -98,10 +114,106 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            "(component diameter exceeds the near-dup regime; use "
-            "large-star/small-star for long-chain graphs)"
+            "(component diameter exceeds the near-dup regime; retry with "
+            "algorithm='star' — O(log^2 n) rounds on long-chain graphs)"
         )
     und.unpersist()
+    return labels
+
+
+def _cc_star(
+    edges: DataFrame,
+    a: str,
+    b: str,
+    nodes: DataFrame | None,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. SOCC'14).  State is the canonical undirected edge set
+    (hi > lo); each round is two grouped-min joins:
+
+      large-star: every node attaches its LARGER neighbors to the
+        minimum of its neighborhood (incl. itself) — long chains fold
+        toward local minima without growing any neighborhood.
+      small-star: every node attaches its SMALLER neighbors (and
+        itself) to their minimum — stars flatten onto their centers.
+
+    At the fixpoint the edge set is a star forest whose centers are
+    the component minima, so labels read straight off the edges.  The
+    fixpoint test is exact set equality (count + anti-join), not a
+    checksum."""
+    cand = edges.select(
+        F.greatest(F.col(a), F.col(b)).alias("hi"),
+        F.least(F.col(a), F.col(b)).alias("lo"),
+    )
+    endpoints = cand.select(F.col("hi").alias("node")).unionByName(
+        cand.select(F.col("lo").alias("node"))
+    )
+    if nodes is None:
+        all_nodes = endpoints.distinct()
+    else:
+        all_nodes = nodes.select("node").unionByName(endpoints).distinct()
+    node_type = dict(all_nodes.dtypes)["node"]
+    if node_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"connected_components needs integer node ids (got {node_type}); "
+            "hash string keys to int64 first (e.g. text.md5_int60)"
+        )
+    all_nodes = all_nodes.persist()
+    e = cand.filter(F.col("hi") != F.col("lo")).distinct().persist()
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # ---- large-star: full neighborhoods (both directions)
+        und = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m_u = und.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        ls = (
+            und.join(m_u, "u")
+            .filter(F.col("v") > F.col("u"))  # v > u >= m, so (v, m) is canonical
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # ---- small-star: smaller neighbors only (hi > lo by canon)
+        m_u2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = ls.join(m_u2, "hi")
+        e_new = (
+            joined.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(m_u2.select(F.col("hi"), F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+        n_new = e_new.count()
+        changed = (
+            n_new != n_edges
+            or not e_new.join(e, ["hi", "lo"], "left_anti").isEmpty()
+        )
+        e.unpersist()
+        e = e_new
+        n_edges = n_new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} rounds"
+        )
+    # star forest: hi -> lo(center); centers and isolated nodes label
+    # themselves.  A min-agg guards the (converged-correct) uniqueness.
+    labels = (
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+        .unionByName(all_nodes.select("node", F.col("node").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    all_nodes.unpersist()
     return labels
 
 

@@ -623,17 +623,25 @@ def audio_resample(audio: DataFrame, to_sr: int) -> DataFrame:
 
 def attach_synthetic_audio(df: DataFrame, id_col: str, seed: int = 42, sr: int = 8000) -> DataFrame:
     """Deterministic WAV payload per integer id (plumbing demo, like
-    attach_synthetic_images)."""
+    attach_synthetic_images).  Every 4th id is re-encoded as a real
+    IMA ADPCM WAV (format tag 0x11) — the decoder dispatches on the
+    fmt chunk, so downstream feature extraction is codec-blind."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"audio_id": [], "bytes": [], "sr": [], "fmt": []}
             for k in pdf[id_col].to_numpy():
                 k = int(k)
+                wav = AU.gen_tone(seed, k, sr=sr)
+                fmt = "wav"
+                if k % 4 == 3:
+                    pcm, _ = AU.decode_wav(wav)
+                    wav = AU.encode_adpcm_wav(pcm[:, 0], sr)
+                    fmt = "wav-adpcm"
                 rows["audio_id"].append(f"aud-{k:012d}")
-                rows["bytes"].append(AU.gen_tone(seed, k, sr=sr))
+                rows["bytes"].append(wav)
                 rows["sr"].append(sr)
-                rows["fmt"].append("wav")
+                rows["fmt"].append(fmt)
             yield pd.DataFrame(rows)
 
     schema = T.StructType(

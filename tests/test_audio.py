@@ -165,3 +165,72 @@ def test_tone_secondary_component_below_nyquist():
             f0 = 200.0 + float(rng.integers(0, 28)) * 100.0
             assert abs(f["dominant_hz"] - f0) <= srr / f["n_samples"] + 1e-9
             break
+
+
+def test_adpcm_roundtrip_fidelity_and_exactness():
+    """IMA ADPCM (format 0x11): the decoder is bit-deterministic pure
+    integer; a linear ramp survives encode->decode EXACTLY (the
+    quantizer tracks constant slopes), tones keep their FFT-dominant
+    pitch, and mono/stereo shapes round-trip."""
+    sr = 8000
+    ramp = np.linspace(-2000, 2000, 4001).astype(np.int16)
+    dec, sr2 = AU.decode_wav(AU.encode_adpcm_wav(ramp, sr))
+    assert sr2 == sr and dec.shape == (4001, 1)
+    assert np.array_equal(dec[:, 0], ramp)
+    tone = AU.gen_tone(42, 3)
+    pcm, _ = AU.decode_wav(tone)
+    dec2, _ = AU.decode_wav(AU.encode_adpcm_wav(pcm[:, 0], sr))
+    assert dec2.shape == pcm.shape  # fact chunk trims block padding
+    assert (
+        AU.features(dec2, sr)["dominant_hz"] == AU.features(pcm, sr)["dominant_hz"]
+    )
+    stereo = np.stack([pcm[:, 0], (pcm[:, 0] // 2).astype(np.int16)], axis=1)
+    dec3, _ = AU.decode_wav(AU.encode_adpcm_wav(stereo, sr))
+    assert dec3.shape == stereo.shape
+    # channels decode independently (interleaved 4-byte groups): each
+    # channel's error matches its own mono-encode error, and the
+    # half-amplitude channel is proportionally cleaner
+    err = np.abs(dec3.astype(np.int64) - stereo.astype(np.int64)).mean(axis=0)
+    mono_err = np.abs(dec2[:, 0].astype(np.int64) - pcm[:, 0].astype(np.int64)).mean()
+    assert abs(err[0] - mono_err) < 1e-9  # identical bitstream per channel
+    assert err[1] < err[0]
+
+
+def test_adpcm_corrupt_inputs_raise_valueerror():
+    """ADPCM wire fields are untrusted: an out-of-range step index,
+    an implausible block align, or a fact count past the decoded data
+    raise ValueError (decode_ok=False rows), never IndexError."""
+    sr = 8000
+    x = np.arange(0, 2000, dtype=np.int16)
+    good = AU.encode_adpcm_wav(x, sr)
+    at = good.find(b"data") + 8
+    bad = bytearray(good)
+    bad[at + 2] = 200  # step index > 88
+    with pytest.raises(ValueError, match="step index"):
+        AU.decode_wav(bytes(bad))
+    bad = bytearray(good)
+    fmt_at = good.find(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_at + 12, 6)  # block_align below header
+    with pytest.raises(ValueError, match="block align"):
+        AU.decode_wav(bytes(bad))
+    bad = bytearray(good)
+    fact_at = good.find(b"fact") + 8
+    struct.pack_into("<I", bad, fact_at, 10**6)
+    with pytest.raises(ValueError, match="fact count"):
+        AU.decode_wav(bytes(bad))
+
+
+def test_audio_corpus_contains_real_adpcm_rows(spark, sf_dir):
+    """Every 4th corpus clip is a real format-0x11 ADPCM file and
+    still feature-extracts through the codec-blind kernel."""
+    from crawler_spark import contract as C
+    from crawler_spark.functions.multimodal import attach_synthetic_audio
+
+    docs = C._t(spark, sf_dir, "documents").limit(20)
+    rows = attach_synthetic_audio(docs, "doc_id").collect()
+    kinds = {r["audio_id"]: r["fmt"] for r in rows}
+    assert "wav-adpcm" in set(kinds.values()) and "wav" in set(kinds.values())
+    for r in rows:
+        fmt_tag = 0x11 if r["fmt"] == "wav-adpcm" else 1
+        at = bytes(r["bytes"]).find(b"fmt ") + 8
+        assert struct.unpack_from("<H", bytes(r["bytes"]), at)[0] == fmt_tag

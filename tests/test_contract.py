@@ -46,6 +46,40 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _spark_kind(dt: str) -> str:
+    d = dt.lower()
+    if d in ("tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"):
+        return "i"
+    if d in ("float", "double") or d.startswith("decimal"):
+        return "f"
+    if d == "boolean":
+        return "b"
+    return "o"
+
+
+def _dtype_mismatches(spark_dtypes: list[tuple[str, str]], duck_pdf: pd.DataFrame):
+    """Schema-kind parity (the scripts/dtype_parity.py audit, folded
+    into the suite per VERDICT r4 item 5): any int/float/bool KIND
+    drift between the Spark result schema and the DuckDB oracle's
+    pandas dtypes is a latent driver hash failure (the r3 q_rollup
+    class: DuckDB sum(BIGINT) -> HUGEINT -> float64 vs Spark int64 —
+    every oracle aggregate must be CAST (... AS BIGINT))."""
+    skinds = {c: _spark_kind(t) for c, t in spark_dtypes}
+    bad = []
+    for c in duck_pdf.columns:
+        k = duck_pdf[c].dtype.kind
+        dk = "i" if k in ("i", "u") else k if k in ("f", "b") else "o"
+        sk = skinds.get(c)
+        if sk is None or sk == dk:
+            continue
+        # nullable-int upcast: duck emits float64 for an int column
+        # that contains NULLs — only a real mismatch with no nulls
+        if sk == "i" and dk == "f" and duck_pdf[c].isna().any():
+            continue
+        bad.append((c, sk, dk))
+    return bad
+
+
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -64,8 +98,14 @@ def duck():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
     duck_pdf = duck.sql(ORACLES[name]).df()
+    assert not _dtype_mismatches(sdf.dtypes, duck_pdf), (
+        f"{name}: schema-kind drift (col, spark, duck): "
+        f"{_dtype_mismatches(sdf.dtypes, duck_pdf)} — cast the oracle "
+        "aggregate (AS BIGINT / round) to match the Spark type"
+    )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
     )
@@ -77,6 +117,24 @@ def test_oracle_match(spark, duck, name):
     assert a == b, f"{name}: first mismatching sorted rows at {mism}: " + "; ".join(
         f"spark={a[i]} duck={b[i]}" for i in mism
     )
+
+
+def test_dtype_parity_flags_deliberately_uncast_oracle(duck):
+    """The audit's reason to exist: an UNCAST DuckDB sum over BIGINT
+    comes back HUGEINT -> pandas float64, which the driver hasher
+    treats as a mismatch against Spark's int64 even with identical
+    values.  The folded check must flag exactly that, and pass once
+    the oracle is cast."""
+    uncast = duck.sql(
+        "SELECT n_regionkey, sum(n_nationkey) AS s FROM nation GROUP BY 1"
+    ).df()
+    spark_schema = [("n_regionkey", "int"), ("s", "bigint")]
+    assert _dtype_mismatches(spark_schema, uncast) == [("s", "i", "f")]
+    cast = duck.sql(
+        "SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s "
+        "FROM nation GROUP BY 1"
+    ).df()
+    assert _dtype_mismatches(spark_schema, cast) == []
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -426,6 +426,37 @@ def test_connected_components_matches_union_find(spark):
     # isolated nodes label themselves
     isolated = [v for v in range(n) if want[v] == v and all(v not in e for e in edges)]
     assert all(got[v] == v for v in isolated)
+    # the star algorithm produces the IDENTICAL label set on the same
+    # near-dup-shaped fixture (its output contract is the same)
+    got_star = {
+        r["node"]: r["component"]
+        for r in connected_components(e_df, nodes=nodes, algorithm="star").collect()
+    }
+    assert got_star == want
+
+
+def test_connected_components_star_handles_long_chains(spark):
+    """A path graph's diameter exceeds the min-label budget: the default
+    recurrence refuses loudly (pointing at the fallback), and the
+    large-star/small-star variant converges in O(log^2 n) rounds with
+    correct labels."""
+    import pytest
+
+    from crawler_spark.functions.graph import connected_components
+
+    n = 60  # path 0-1-...-59: diameter 59 > max_iter=8
+    edges = list(zip(range(n - 1), range(1, n)))
+    e_df = spark.createDataFrame(edges, "a: long, b: long").repartition(5)
+    with pytest.raises(RuntimeError, match="algorithm='star'"):
+        connected_components(e_df, max_iter=8)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e_df, max_iter=8, algorithm="star").collect()
+    }
+    assert got == {v: 0 for v in range(n)}
+    # unknown algorithm names fail fast
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(e_df, algorithm="boruvka")
 
 
 def test_connected_components_empty_edges(spark):
