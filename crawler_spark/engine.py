@@ -111,6 +111,12 @@ class CrawlConfig:
     seen_prune_min_keys: int = 100_000_000
     cache_web: bool = True
     verify_rows: bool = True  # per-row decode+phash+PSNR gate (input_hint)
+    # "full" | "sample" | "off" — the 32-wide profile's dominant stage
+    # is this gate; "sample" verifies a deterministic ~1/denom of rows
+    # (NULL elsewhere) for scale deployments, "full" stays the default
+    # and is golden-pinned bit-identical (operators/fetch.verify_rows)
+    verify_policy: str = "full"
+    verify_sample_denom: int = 8
     image_seed: int = 42
     run_ts: str = "2026-01-01T00:00:00Z"  # P7: one deterministic stamp per run
     extra: dict = field(default_factory=dict)
@@ -347,7 +353,12 @@ class CrawlEngine:
             # input_hint per-row gate: decode, PSNR vs reference pixels,
             # phash recompute — the dominant (and embarrassingly
             # parallel) compute of a real image crawl
-            results = FE.verify_rows(results, cfg.image_seed)
+            results = FE.verify_rows(
+                results,
+                cfg.image_seed,
+                policy=cfg.verify_policy,
+                sample_denom=cfg.verify_sample_denom,
+            )
 
         # expansion: successfully fetched SEED pages (page==0) discover pagination
         expansion = R.tag_robots(

@@ -93,7 +93,13 @@ def run_level(cpus: int, work_dir: str) -> dict:
         web_images=spark.read.parquet(os.path.join(fix, "web_images")),
         robots=spark.read.parquet(os.path.join(fix, "robots")),
         config=CrawlConfig(
-            base_budget=BASE_BUDGET, max_rounds=MAX_ROUNDS, round_ms=ROUND_MS
+            base_budget=BASE_BUDGET,
+            max_rounds=MAX_ROUNDS,
+            round_ms=ROUND_MS,
+            # scale-deployment knob for the dominant verify stage; the
+            # criterion protocol always runs the default "full"
+            verify_policy=os.environ.get("SCALING_VERIFY_POLICY", "full"),
+            verify_sample_denom=int(os.environ.get("SCALING_VERIFY_DENOM", "8")),
         ),
     )
     seeds = spark.read.parquet(os.path.join(fix, "seeds"))
