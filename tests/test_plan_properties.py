@@ -454,3 +454,19 @@ def test_substring_dedup_no_cartesian_single_gram_key(spark, sf_dir):
     plan = _plan(C.q_substring_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final count(gh)
+
+
+def test_verify_sample_policy_adds_no_exchange(spark):
+    """The sampled verify gate is a pure row-local WHEN over a hash of
+    image_id — it must not introduce any shuffle (an exact
+    top-N-per-host would have exchanged the image bytes)."""
+    from crawler_spark.operators import fetch as FE
+
+    df = spark.createDataFrame(
+        [("img-000000000001", bytearray(b"x"), "png", 4, 4, 1)],
+        "image_id: string, bytes: binary, fmt: string, w: int, h: int, phash: long",
+    )
+    full = _plan(FE.verify_rows(df))
+    sampled = _plan(FE.verify_rows(df, policy="sample", sample_denom=8))
+    assert sampled.count("Exchange") == full.count("Exchange")
+    assert "xxhash64" in sampled and "pmod" in sampled
