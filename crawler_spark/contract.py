@@ -1901,14 +1901,15 @@ def q_frame_sample(spark, sf):
 def q_video_demux(spark, sf):
     """Container-uniform video demux over a MIXED corpus (doc_ids
     cycle MJV1 / real ISO-BMFF MP4 / movie-fragmented DASH-style fMP4
-    / real Matroska WebM, all carrying the same encoded frame
-    payloads): keyframe selection from real sample tables
-    (crawler_spark.mp4 — stts/stsc/stsz/stco/stss, plus
-    moof/traf/tfhd/trun for the fragmented variant) and real EBML
-    SimpleBlock flags (crawler_spark.webm), no pixel decode, no
-    payload bytes touched for skipped samples.  Rows-only: binary
-    container parsing is not DuckDB-expressible; sample-count/dts/sync
-    invariants are pinned by pytest (tests/test_mp4.py)."""
+    / real Matroska WebM / real RIFF AVI, all carrying the same
+    encoded frame payloads): keyframe selection from real sample
+    tables (crawler_spark.mp4 — stts/stsc/stsz/stco/stss, plus
+    moof/traf/tfhd/trun for the fragmented variant), real EBML
+    SimpleBlock flags (crawler_spark.webm) and real idx1 flags
+    (crawler_spark.avi), no pixel decode, no payload bytes touched
+    for skipped samples.  Rows-only: binary container parsing is not
+    DuckDB-expressible; sample-count/dts/sync invariants are pinned
+    by pytest (tests/test_mp4.py)."""
     from .functions.multimodal import attach_synthetic_videos, video_demux
 
     docs = _t(spark, sf, "documents").limit(50)

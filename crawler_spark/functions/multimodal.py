@@ -374,11 +374,12 @@ def attach_synthetic_videos(
     the video analogue of attach_synthetic_images below.
 
     ``container``: ``"mjv1"`` (default), ``"mp4"`` / ``"fmp4"`` /
-    ``"webm"`` (the SAME encoded frame payloads re-wrapped in a
-    spec-valid progressive ISO-BMFF / movie-fragmented DASH-style
-    ISO-BMFF / Matroska file, sync samples every 4th frame), or
-    ``"mixed"`` (ids cycle mjv1/mp4/fmp4/webm by k%4 — exercises the
-    container-uniform demux path across all four)."""
+    ``"webm"`` / ``"avi"`` (the SAME encoded frame payloads re-wrapped
+    in a spec-valid progressive ISO-BMFF / movie-fragmented DASH-style
+    ISO-BMFF / Matroska / RIFF-AVI file, sync samples every 4th
+    frame), or ``"mixed"`` (ids cycle mjv1/mp4/fmp4/webm/avi by k%5 —
+    exercises the container-uniform demux path across all five)."""
+    from .. import avi as AV
     from .. import mp4 as M
     from .. import video as V
     from .. import webm as WB
@@ -388,7 +389,7 @@ def attach_synthetic_videos(
         mjv = V.gen_video(seed, k, w, h, n_frames, fmt)
         kind = container
         if container == "mixed":
-            kind = ("mjv1", "mp4", "fmp4", "webm")[k % 4]
+            kind = ("mjv1", "mp4", "fmp4", "webm", "avi")[k % 5]
         if kind == "mjv1":
             return mjv, fmt
         payloads = [mjv[o : o + ln] for _, o, ln in V.iter_frame_offsets(mjv)]
@@ -401,6 +402,8 @@ def attach_synthetic_videos(
                 M.mux_fragmented(payloads, w, h, fps=fps, keyframes=keys),
                 fmt,
             )
+        if kind == "avi":
+            return AV.mux(payloads, w, h, fps=fps, keyframes=keys), fmt
         return WB.mux(payloads, w, h, fps=fps, keyframes=keys), fmt
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

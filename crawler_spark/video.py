@@ -132,8 +132,9 @@ def _reject_foreign(data: bytes) -> None:
         )
     if is_avi:
         raise NotImplementedError(
-            "AVI needs an av library; MJV1 decodes, MP4/WebM demux "
-            "in this sandbox"
+            "AVI codec pixel decode needs an av library; use "
+            "demux_samples() for the real RIFF/idx1 demux "
+            "(byte ranges/timestamps/keyframe flags)"
         )
     raise ValueError("not an MJV1 container")
 
@@ -145,13 +146,16 @@ def demux_samples(data: bytes) -> list[tuple[int, int, int, int, bool]]:
 
     - MJV1: length-prefix walk; every frame is independently coded, so
       every sample is a sync sample; dts from the header fps.
-    - ISO-BMFF (MP4): real sample tables via crawler_spark.mp4
-      (stts/stsc/stsz/stco/stss — byte ranges, timestamps, sync flags).
+    - ISO-BMFF (MP4, progressive AND movie-fragmented): real sample
+      tables via crawler_spark.mp4 (stts/stsc/stsz/stco/stss +
+      moof/traf/trun — byte ranges, timestamps, sync flags).
     - Matroska/WebM: real EBML walk via crawler_spark.webm
       (SimpleBlock ranges, cluster+relative timecodes, keyframe flags).
+    - RIFF/AVI: real chunk walk via crawler_spark.avi (movi frame
+      ranges, idx1 keyframe flags, strh rate/scale timestamps).
 
-    AVI raises NotImplementedError (declared av-library gap);
-    non-video bytes raise ValueError."""
+    Non-video bytes raise ValueError; codec pixel decode everywhere
+    but MJV1 stays the declared av-library gap."""
     raw = bytes(data)
     if raw[:4] == _MAGIC:
         meta = probe(raw)
@@ -181,6 +185,16 @@ def demux_samples(data: bytes) -> list[tuple[int, int, int, int, bool]]:
         return [
             (b.idx, b.offset, b.size, b.timecode * t.timescale_ns // 1_000_000, b.is_key)
             for b in t.blocks
+        ]
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        from . import avi as AV
+
+        t = AV.video_track(raw)
+        fps = max(1, t.rate // t.scale)
+        # same muxer-quantized delta as MJV1/mp4/webm (1000 // fps)
+        return [
+            (f.idx, f.offset, f.size, f.idx * (1000 // fps), f.is_sync)
+            for f in t.frames
         ]
     _reject_foreign(raw)
     raise AssertionError("unreachable")

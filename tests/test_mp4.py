@@ -74,13 +74,22 @@ def test_demux_samples_uniform_across_containers():
     c = V.demux_samples(wb)
     assert [(i, ln, d) for i, _, ln, d, _ in a] == [(i, ln, d) for i, _, ln, d, _ in c]
     assert [sync for *_, sync in c] == [i in {0, 4} for i in range(8)]
+    # AVI: the same frames again, through the RIFF/idx1 walk
+    from crawler_spark import avi as AV
+
+    av = AV.mux(frames, 16, 12, fps=8, keyframes={0, 4})
+    d = V.demux_samples(av)
+    assert [(i, ln, dd) for i, _, ln, dd, _ in a] == [(i, ln, dd) for i, _, ln, dd, _ in d]
+    assert [sync for *_, sync in d] == [i in {0, 4} for i in range(8)]
     # payload bytes land at the reported ranges in ALL containers
     for (i, off, ln, _, _) in b:
         assert mp[off : off + ln] == frames[i]
     for (i, off, ln, _, _) in c:
         assert wb[off : off + ln] == frames[i]
-    with pytest.raises(NotImplementedError):
-        V.demux_samples(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 24)  # AVI stays a gap
+    for (i, off, ln, _, _) in d:
+        assert av[off : off + ln] == frames[i]
+    with pytest.raises(ValueError):
+        V.demux_samples(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 24)  # corrupt AVI
     with pytest.raises(ValueError):
         V.demux_samples(b"\x1a\x45\xdf\xa3" + b"\x00" * 40)  # corrupt EBML
     with pytest.raises(ValueError):
@@ -108,10 +117,11 @@ def test_webm_roundtrip_and_corrupt():
 
 
 def test_video_demux_operator_mixed_corpus(spark):
-    """Spark plumbing: mixed MJV1/MP4/fMP4/WebM corpus demuxes
+    """Spark plumbing: mixed MJV1/MP4/fMP4/WebM/AVI corpus demuxes
     uniformly; keyframe selection returns every-4th sample for
-    MP4/fMP4/WebM rows (stss / trun sample flags / SimpleBlock flags)
-    and all samples for MJV1 rows (independently coded => all sync)."""
+    MP4/fMP4/WebM/AVI rows (stss / trun sample flags / SimpleBlock
+    flags / idx1 flags) and all samples for MJV1 rows (independently
+    coded => all sync)."""
     from pyspark.sql import functions as F
 
     from crawler_spark.functions.multimodal import (
@@ -119,18 +129,18 @@ def test_video_demux_operator_mixed_corpus(spark):
         video_demux,
     )
 
-    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
     vids = attach_synthetic_videos(ids, "doc_id", n_frames=12, container="mixed")
     out = video_demux(vids, keyframes_only=True).toPandas()
     per = out.groupby("image_id").size().to_dict()
-    for k in range(8):
+    for k in range(10):
         name = f"vid-{k:012d}"
-        assert per[name] == (12 if k % 4 == 0 else 3), (k, per)
+        assert per[name] == (12 if k % 5 == 0 else 3), (k, per)
     # same id, same frames: payload sizes and dts per sample_idx agree
-    # across all four wraps of the same clip (fps 8 divides 1000)
+    # across all five wraps of the same clip (fps 8 divides 1000)
     key = ["image_id", "sample_idx"]
     frames_ref = None
-    for cont in ("mjv1", "mp4", "fmp4", "webm"):
+    for cont in ("mjv1", "mp4", "fmp4", "webm", "avi"):
         cur = video_demux(
             attach_synthetic_videos(ids, "doc_id", n_frames=12, container=cont)
         ).toPandas().set_index(key)[["n_bytes", "dts_ms"]].sort_index()
@@ -313,3 +323,34 @@ def test_corrupt_stco_offset_beyond_eof_rejected():
     struct.pack_into(">I", bad, at + 12, len(good) * 10)  # first chunk offset
     with pytest.raises(ValueError, match="beyond EOF"):
         M.video_track(bytes(bad))
+
+
+def test_avi_roundtrip_and_corrupt():
+    """RIFF/AVI demux (crawler_spark.avi): exact frame byte ranges,
+    idx1 keyframe flags, all-sync without an index; corrupt chunk
+    sizes / mismatched idx1 raise ValueError."""
+    from crawler_spark import avi as AV
+
+    frames = _payloads(7, base=5)
+    data = AV.mux(frames, 20, 10, fps=4, keyframes={0, 3, 6})
+    assert AV.probe(data) == {
+        "codec": "MJPG", "width": 20, "height": 10, "fps": 4,
+        "n_frames": 7, "n_key": 3,
+    }
+    t = AV.video_track(data)
+    for f in t.frames:
+        assert AV.frame_payload(data, f) == frames[f.idx]
+        assert f.is_sync == (f.idx in {0, 3, 6})
+    assert all(f.is_sync for f in AV.video_track(AV.mux(frames, 20, 10)).frames)
+    with pytest.raises(ValueError):
+        AV.video_track(b"RIFF\x10\x00\x00\x00WAVEfmt ")  # RIFF but not AVI
+    with pytest.raises(ValueError):  # chunk overruns the file
+        AV.video_track(data[: len(data) - 6])
+    # idx1 entry count disagreeing with movi chunk count
+    at = data.find(b"idx1")
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, at + 4, struct.unpack_from("<I", data, at + 4)[0] - 16)
+    with pytest.raises(ValueError, match="idx1|overruns|trailing"):
+        AV.video_track(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        AV.decode_frame(data, t.frames[0])
