@@ -86,6 +86,47 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(pixels: np.ndarray) -> bytes:
+    """Real palette PNG (color type 3): PLTE of the image's distinct
+    colors (must be <=256) + index scanlines.  Fixture-side twin of the
+    palette decode path — crawls deliver palette PNGs constantly."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors exceed a PLTE (256)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    rows = idx.astype(np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(pixels: np.ndarray) -> bytes:
+    """Real Adam7-interlaced truecolor PNG (interlace method 1):
+    filter-0 scanlines per pass — fixture-side twin of the interlaced
+    decode path."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     """PNG filter reconstruction (types 0-4) on one scanline of raw
     bytes.  Up is fully vectorized; Sub/Average/Paeth scan along x
@@ -118,20 +159,44 @@ def _unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_image(raw: bytes, w: int, h: int, nch: int, offset: int):
+    """Reconstruct one (sub-)image of h scanlines starting at
+    ``offset`` in the inflated stream -> ((h, w, nch) array, end)."""
+    stride = 1 + w * nch
+    if len(raw) < offset + h * stride:
+        raise ValueError("truncated PNG pixel data")
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    rows = []
+    for y in range(h):
+        line = raw[offset + y * stride : offset + (y + 1) * stride]
+        cur = np.frombuffer(line[1:], dtype=np.uint8)
+        prev = _unfilter_row(line[0], cur, prev, nch)
+        rows.append(prev.reshape(w, nch))
+    return np.stack(rows), offset + h * stride
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """(H, W, 3) uint8 RGB from PNG bytes.
 
     Accepts what real crawls deliver: 8-bit gray (0), RGB (2),
-    gray+alpha (4) and RGBA (6) color types with ANY scanline filter
+    palette (3, PLTE lookup), gray+alpha (4) and RGBA (6) color types,
+    non-interlaced AND Adam7-interlaced, with ANY scanline filter
     (0-4 reconstruction); alpha is stripped, gray broadcast to RGB.
-    Palette (3) and Adam7 interlace raise NotImplementedError — they
-    are declared unsupported rather than mis-decoded; corrupt data
-    raises ValueError (callers map both to decode_ok=False rows)."""
+    Sub-8-bit depths raise NotImplementedError — declared unsupported
+    rather than mis-decoded; corrupt data raises ValueError (callers
+    map both to decode_ok=False rows)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w, h = 8, 0, 0
-    ctype = -1
-    idat = b""
+    ctype, interlace = -1, 0
+    idat, plte = b"", None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -144,12 +209,14 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if bit != 8:
                 raise NotImplementedError(f"PNG bit depth {bit} unsupported (8 only)")
-            if ctype == 3:
-                raise NotImplementedError("palette PNG unsupported")
-            if ctype not in (0, 2, 4, 6):
+            if ctype not in (0, 2, 3, 4, 6):
                 raise ValueError(f"bad PNG color type {ctype}")
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+        elif tag == b"PLTE":
+            if ln % 3 or ln == 0 or ln > 256 * 3:
+                raise ValueError(f"bad PLTE length {ln}")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -157,29 +224,47 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if not (w and h and idat):
         raise ValueError("truncated PNG")
-    if ctype not in (0, 2, 4, 6):
+    if ctype not in (0, 2, 3, 4, 6):
         raise ValueError(f"bad PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     if w * h > _MAX_PIXELS:
         raise ValueError(f"PNG dimensions {w}x{h} beyond the decode budget")
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-    stride = 1 + w * nch
-    # cap inflate at the pixel budget the header declares (+1 row of
-    # slack): corrupt/hostile IDAT must not inflate unbounded, and a
-    # zlib stream error is corrupt DATA (ValueError), not a crash
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    # exact inflated size the header implies (per-pass strides under
+    # Adam7); cap inflate there (+1 row slack): corrupt/hostile IDAT
+    # must not inflate unbounded, and a zlib stream error is corrupt
+    # DATA (ValueError), not a crash
+    if interlace:
+        expect = sum(
+            hp * (1 + wp * nch)
+            for x0, y0, dx, dy in _ADAM7
+            if (wp := (w - x0 + dx - 1) // dx) > 0
+            and (hp := (h - y0 + dy - 1) // dy) > 0
+        )
+    else:
+        expect = h * (1 + w * nch)
     try:
-        raw = zlib.decompressobj().decompress(idat, h * stride + stride)
+        raw = zlib.decompressobj().decompress(idat, expect + 1 + w * nch)
     except zlib.error as e:
         raise ValueError(f"bad PNG deflate stream: {e}") from None
-    if len(raw) < h * stride:
-        raise ValueError("truncated PNG pixel data")
-    prev = np.zeros(w * nch, dtype=np.uint8)
-    rows = []
-    for y in range(h):
-        line = raw[y * stride : (y + 1) * stride]
-        cur = np.frombuffer(line[1:], dtype=np.uint8)
-        prev = _unfilter_row(line[0], cur, prev, nch)
-        rows.append(prev.reshape(w, nch))
-    px = np.stack(rows)
+    if interlace:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, off = _unfilter_image(raw, wp, hp, nch, off)
+            px[y0::dy, x0::dx, :] = sub
+    else:
+        px, _ = _unfilter_image(raw, w, h, nch, 0)
+    if ctype == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index beyond PLTE size")
+        return plte[idx]
     if ctype == 2:
         return px
     if ctype == 6:

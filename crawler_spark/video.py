@@ -20,14 +20,15 @@ decoding its neighbours, so a sample of k frames costs O(k) decode
 work plus an O(n_frames) index walk over length prefixes (no payload
 bytes are touched for skipped frames).
 
-Foreign containers: ISO-BMFF (MP4) and Matroska/WebM files now DEMUX
-for real via crawler_spark.mp4 / crawler_spark.webm (pure-spec sample
-tables / EBML walk — byte ranges, timestamps, sync flags; see
+Foreign containers: ISO-BMFF (MP4, progressive and movie-fragmented),
+Matroska/WebM and RIFF/AVI files all DEMUX for real via
+crawler_spark.mp4 / .webm / .avi (pure-spec sample tables / EBML walk
+/ RIFF+idx1 walk — byte ranges, timestamps, sync flags; see
 :func:`demux_samples`); only the codec-payload pixel DECODE
-(avc1/hev1/vp09 entropy coding) still needs an av library this
-sandbox doesn't ship and raises a declared NotImplementedError.  AVI
-remains container-level NotImplementedError.  The Spark plumbing in
-functions/multimodal.py is identical whichever decoder sits below.
+(avc1/hev1/vp09/MJPG entropy coding) still needs an av library this
+sandbox doesn't ship and raises a declared NotImplementedError.  The
+Spark plumbing in functions/multimodal.py is identical whichever
+decoder sits below.
 
 No reference-repo lineage: e8kor/crawler has no video code; the
 container layout is original and the frame codecs follow public specs

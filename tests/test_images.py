@@ -182,8 +182,8 @@ def _png_with_filters(px_arr, ctype, filters):
 def test_decode_png_real_world_filters_and_color_types():
     """Foreign PNGs use filters 1-4 and RGBA/gray — the decoder must
     reconstruct them exactly (previously they were misclassified as
-    corrupt), and reject palette/interlace LOUDLY instead of
-    mis-decoding."""
+    corrupt); truncated palette/interlaced files fail as corrupt data,
+    never mis-decode."""
     import struct as _s
     import zlib as _z
 
@@ -207,10 +207,53 @@ def test_decode_png_real_world_filters_and_color_types():
             )
         return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
 
-    with pytest.raises(NotImplementedError):
-        I.decode_png(hdr_only(3, 0))  # palette
-    with pytest.raises(NotImplementedError):
-        I.decode_png(hdr_only(2, 1))  # Adam7
+    # palette/Adam7 now DECODE (see test_decode_png_palette_and_adam7);
+    # a header-only file of either kind is truncated DATA -> ValueError
+    with pytest.raises(ValueError):
+        I.decode_png(hdr_only(3, 0))  # palette, no PLTE/IDAT
+    with pytest.raises(ValueError):
+        I.decode_png(hdr_only(2, 1))  # Adam7, no IDAT
+
+
+def test_decode_png_palette_and_adam7():
+    """Palette (PLTE lookup) and Adam7-interlaced PNGs round-trip
+    EXACTLY across odd dimensions (every pass-geometry edge case), and
+    corrupt palette structure raises ValueError."""
+    import struct as _s
+
+    for w, h in [(32, 32), (17, 13), (8, 1), (1, 9), (3, 3), (7, 7)]:
+        px = I.gen_pixels(42, 7, w, h)
+        pq = (px // 64 * 64).astype(np.uint8)  # <=256 distinct colors
+        assert np.array_equal(I.decode_png(I.encode_png_palette(pq)), pq), (w, h)
+        assert np.array_equal(I.decode_png(I.encode_png_adam7(px)), px), (w, h)
+    # palette index beyond PLTE: shrink the PLTE to one entry
+    pq = (I.gen_pixels(42, 7, 8, 8) // 64 * 64).astype(np.uint8)
+    data = I.encode_png_palette(pq)
+    at = data.find(b"PLTE")
+    n_plte = _s.unpack(">I", data[at - 4 : at])[0]
+    assert n_plte > 3
+    tail = data[at + 4 + n_plte + 4 :]  # chunks after PLTE's CRC
+    shrunk = (
+        data[: at - 4]
+        + _s.pack(">I", 3)
+        + b"PLTE"
+        + data[at + 4 : at + 4 + 3]
+        + b"\x00\x00\x00\x00"  # CRC placeholder (walker skips, not checks)
+        + tail
+    )
+    with pytest.raises(ValueError, match="palette index|PLTE"):
+        I.decode_png(shrunk)
+    # PLTE length not a multiple of 3
+    bad = (
+        data[: at - 4]
+        + _s.pack(">I", 4)
+        + b"PLTE"
+        + data[at + 4 : at + 4 + 4]
+        + b"\x00\x00\x00\x00"
+        + tail
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        I.decode_png(bad)
 
 
 def test_image_stats_flat_vs_noise(spark):
